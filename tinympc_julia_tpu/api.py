@@ -1,0 +1,365 @@
+"""User-facing solver API mirroring the reference Julia surface.
+
+Method-for-method analog of module TinyMPC (/root/reference/src/TinyMPC.jl:3-6):
+setup, solve, get_solution, set_x0/x_ref/u_ref, set_bound/linear/cone/equality
+constraints, update_settings, set_cache_terms, compute_sensitivity_autograd,
+codegen, codegen_with_sensitivity, print_problem_data.
+
+Unlike the reference's process-wide C++ singleton
+(/root/reference/src/bindings.cpp:15-18), every `TinyMPCSolver` instance owns
+its own immutable pytree state — any number of solvers coexist, and the pytrees
+can be checkpointed, vmapped or shipped to a device mesh directly.
+
+Matrix layout at this boundary follows the reference: states are (nx, N),
+controls are (nu, N-1), column i = stage i.  Internally everything is
+horizon-major (N, nx) — see types.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import types as T
+from .ops import admm, riccati
+
+
+class MPCSolution(NamedTuple):
+    states: np.ndarray  # (nx, N)
+    controls: np.ndarray  # (nu, N-1)
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class TinyMPCSolver:
+    """Stateful convenience wrapper over the pure-functional core.
+
+    Example (mirrors /root/reference/src/TinyMPC.jl:26-31):
+        solver = TinyMPCSolver()
+        solver.setup(A, B, f, Q, R, rho, nx, nu, N)
+        solver.set_x0(x0)
+        solver.solve()
+        solution = solver.get_solution()
+    """
+
+    def __init__(self, dtype=None):
+        self.dtype = dtype or _default_dtype()
+        self.problem: Optional[T.Problem] = None
+        self.cache: Optional[T.Cache] = None
+        self.settings: T.Settings = T.default_settings()
+        self.state: Optional[T.State] = None
+        self.solution: Optional[T.Solution] = None
+        self.is_setup = False
+        self.horizon_parallel = False
+        # Mirrors of the user-supplied data for sensitivity / codegen paths.
+        self._user = {}
+
+    # -- setup --------------------------------------------------------------
+
+    def setup(self, A, B, f, Q, R, rho, nx=None, nu=None, N=None, *,
+              verbose=False, abs_pri_tol=1e-3, abs_dua_tol=1e-3,
+              max_iter=100, check_termination=True,
+              adaptive_rho=False, adaptive_rho_min=0.1, adaptive_rho_max=10.0,
+              adaptive_rho_clipping=True):
+        """Problem construction + Riccati cache precompute.
+
+        Signature and defaults mirror `setup` (/root/reference/src/TinyMPC.jl:55-61);
+        like the Julia wrapper, all constraint-enable flags start disabled and
+        are auto-enabled by the constraint setters
+        (/root/reference/src/TinyMPC.jl:89-104, bindings.cpp:400-404)."""
+        dt = self.dtype
+        A = np.asarray(A, float)
+        B = np.asarray(B, float)
+        nx = nx or A.shape[0]
+        nu = nu or B.shape[1]
+        if N is None:
+            raise ValueError("horizon length N is required")
+        if A.shape != (nx, nx):
+            raise ValueError(f"A has shape {A.shape}, expected ({nx}, {nx})")
+        if B.shape != (nx, nu):
+            raise ValueError(f"B has shape {B.shape}, expected ({nx}, {nu})")
+        Qm = np.asarray(Q, float)
+        Rm = np.asarray(R, float)
+        if Qm.shape not in ((nx, nx), (nx,)):
+            raise ValueError(f"Q has shape {Qm.shape}, expected ({nx}, {nx})")
+        if Rm.shape not in ((nu, nu), (nu,)):
+            raise ValueError(f"R has shape {Rm.shape}, expected ({nu}, {nu})")
+        f = np.zeros(nx) if f is None else np.asarray(f, float).reshape(nx)
+
+        self._user = dict(A=A, B=B, Q=Qm if Qm.ndim == 2 else np.diag(Qm),
+                          R=Rm if Rm.ndim == 2 else np.diag(Rm),
+                          f=f, rho=float(rho), nx=nx, nu=nu, N=N)
+
+        self.problem = T.make_problem(
+            jnp.asarray(A, dt), jnp.asarray(B, dt), jnp.asarray(Qm, dt),
+            jnp.asarray(Rm, dt), jnp.asarray(rho, dt), N,
+            f=jnp.asarray(f, dt))
+        self.cache = riccati.precompute_cache(
+            self.problem.A, self.problem.B, self.problem.Q, self.problem.R,
+            jnp.asarray(rho, dt))
+        self.settings = T.Settings(
+            abs_pri_tol=float(abs_pri_tol), abs_dua_tol=float(abs_dua_tol),
+            max_iter=int(max_iter),
+            check_termination=int(check_termination),
+            en_state_bound=False, en_input_bound=False,
+            en_state_soc=False, en_input_soc=False,
+            en_state_linear=False, en_input_linear=False,
+            adaptive_rho=bool(adaptive_rho),
+            adaptive_rho_min=float(adaptive_rho_min),
+            adaptive_rho_max=float(adaptive_rho_max),
+            adaptive_rho_enable_clipping=bool(adaptive_rho_clipping),
+        )
+        self.state = T.init_state(nx, nu, N, dt)
+        self.solution = None
+        self.is_setup = True
+        if verbose:
+            print(f"TinyMPC solver setup successful (nx={nx}, nu={nu}, N={N})")
+        return 0
+
+    def _require_setup(self):
+        if not self.is_setup:
+            raise RuntimeError("Solver not setup")
+
+    # -- state / reference setters -----------------------------------------
+
+    def set_x0(self, x0, *, verbose=False):
+        """work->x.col(0) = x0 (tiny_api.cpp:233-243)."""
+        self._require_setup()
+        x0 = jnp.asarray(np.asarray(x0, float).reshape(-1), self.dtype)
+        if x0.shape[0] != self.problem.nx:
+            raise ValueError("x0 is not the correct length")
+        self.state = self.state.replace(x=self.state.x.at[0].set(x0))
+        return 0
+
+    def set_x_ref(self, x_ref, *, verbose=False):
+        """Accepts the reference layout (nx, N) (tiny_api.cpp:245-255)."""
+        self._require_setup()
+        x_ref = np.asarray(x_ref, float)
+        nx, N = self.problem.nx, self.problem.N
+        if x_ref.shape != (nx, N):
+            raise ValueError(f"x_ref has shape {x_ref.shape}, expected ({nx}, {N})")
+        self.problem = self.problem.replace(Xref=jnp.asarray(x_ref.T, self.dtype))
+        return 0
+
+    def set_u_ref(self, u_ref, *, verbose=False):
+        self._require_setup()
+        u_ref = np.asarray(u_ref, float)
+        nu, N = self.problem.nu, self.problem.N
+        if u_ref.shape != (nu, N - 1):
+            raise ValueError(f"u_ref has shape {u_ref.shape}, expected ({nu}, {N - 1})")
+        self.problem = self.problem.replace(Uref=jnp.asarray(u_ref.T, self.dtype))
+        return 0
+
+    # -- constraints --------------------------------------------------------
+
+    def set_bound_constraints(self, x_min, x_max, u_min, u_max, *, verbose=False):
+        """Box bounds in reference layout (nx, N) / (nu, N-1); auto-enables the
+        bound flags (bindings.cpp:378-411)."""
+        self._require_setup()
+        nx, nu, N = self.problem.nx, self.problem.nu, self.problem.N
+        x_min = np.broadcast_to(np.asarray(x_min, float), (nx, N))
+        x_max = np.broadcast_to(np.asarray(x_max, float), (nx, N))
+        u_min = np.broadcast_to(np.asarray(u_min, float), (nu, N - 1))
+        u_max = np.broadcast_to(np.asarray(u_max, float), (nu, N - 1))
+        dt = self.dtype
+        self.problem = self.problem.replace(
+            x_min=jnp.asarray(x_min.T, dt), x_max=jnp.asarray(x_max.T, dt),
+            u_min=jnp.asarray(u_min.T, dt), u_max=jnp.asarray(u_max.T, dt))
+        self.settings = self.settings.replace(en_state_bound=True,
+                                              en_input_bound=True)
+        return 0
+
+    def set_linear_constraints(self, Alin_x, blin_x, Alin_u, blin_u, *,
+                               verbose=False):
+        """Per-stage halfspaces Alin_x x <= blin_x, Alin_u u <= blin_u;
+        auto-enables flags iff rows > 0 (bindings.cpp:414-450)."""
+        self._require_setup()
+        dt = self.dtype
+        Alin_x = np.asarray(Alin_x, float).reshape(-1, self.problem.nx)
+        Alin_u = np.asarray(Alin_u, float).reshape(-1, self.problem.nu)
+        blin_x = np.asarray(blin_x, float).reshape(-1)
+        blin_u = np.asarray(blin_u, float).reshape(-1)
+        self.problem = self.problem.replace(
+            Alin_x=jnp.asarray(Alin_x, dt), blin_x=jnp.asarray(blin_x, dt),
+            Alin_u=jnp.asarray(Alin_u, dt), blin_u=jnp.asarray(blin_u, dt))
+        self.settings = self.settings.replace(
+            en_state_linear=self.settings.en_state_linear or Alin_x.shape[0] > 0,
+            en_input_linear=self.settings.en_input_linear or Alin_u.shape[0] > 0)
+        return 0
+
+    def set_cone_constraints(self, Acu, qcu, cu, Acx, qcx, cx, *, verbose=False):
+        """SOC constraints: arrays of start index, cone dim, coefficient mu,
+        inputs first then states — the binding signature
+        (bindings.cpp:453-490); semantics fixed by the rocket example
+        (‖w[start:start+q-1]‖ <= mu * w[start+q-1]).  Auto-enables iff
+        non-empty."""
+        self._require_setup()
+        dt = self.dtype
+        cones_u = T.ConeSet(mus=jnp.asarray(np.asarray(cu, float), dt),
+                            starts=tuple(int(i) for i in np.asarray(Acu)),
+                            dims=tuple(int(i) for i in np.asarray(qcu)))
+        cones_x = T.ConeSet(mus=jnp.asarray(np.asarray(cx, float), dt),
+                            starts=tuple(int(i) for i in np.asarray(Acx)),
+                            dims=tuple(int(i) for i in np.asarray(qcx)))
+        self.problem = self.problem.replace(cones_u=cones_u, cones_x=cones_x)
+        self.settings = self.settings.replace(
+            en_input_soc=self.settings.en_input_soc or cones_u.num_cones > 0,
+            en_state_soc=self.settings.en_state_soc or cones_x.num_cones > 0)
+        return 0
+
+    def set_equality_constraints(self, Aeq_x, beq_x, Aeq_u=None, beq_u=None):
+        """Equalities lowered to inequality pairs, exactly like the Julia layer
+        (/root/reference/src/TinyMPC.jl:259-268)."""
+        self._require_setup()
+        Aeq_x = np.asarray(Aeq_x, float).reshape(-1, self.problem.nx)
+        beq_x = np.asarray(beq_x, float).reshape(-1)
+        if Aeq_u is None:
+            Aeq_u = np.zeros((0, self.problem.nu))
+        if beq_u is None:
+            beq_u = np.zeros(0)
+        Aeq_u = np.asarray(Aeq_u, float).reshape(-1, self.problem.nu)
+        beq_u = np.asarray(beq_u, float).reshape(-1)
+        return self.set_linear_constraints(
+            np.vstack([Aeq_x, -Aeq_x]), np.concatenate([beq_x, -beq_x]),
+            np.vstack([Aeq_u, -Aeq_u]), np.concatenate([beq_u, -beq_u]))
+
+    # -- settings / cache ----------------------------------------------------
+
+    def update_settings(self, **kwargs):
+        """All 15 settings of the binding (bindings.cpp:336-376).  Accepts the
+        Julia keyword names; bools or ints for flags."""
+        self._require_setup()
+        mapping = dict(
+            abs_pri_tol=float, abs_dua_tol=float, max_iter=int,
+            check_termination=int, en_state_bound=bool, en_input_bound=bool,
+            en_state_soc=bool, en_input_soc=bool, en_state_linear=bool,
+            en_input_linear=bool, adaptive_rho=bool, adaptive_rho_min=float,
+            adaptive_rho_max=float, adaptive_rho_enable_clipping=bool,
+        )
+        kwargs.pop("verbose", None)
+        # Julia alias used in `setup`
+        if "adaptive_rho_clipping" in kwargs:
+            kwargs["adaptive_rho_enable_clipping"] = kwargs.pop("adaptive_rho_clipping")
+        updates = {}
+        for key, value in kwargs.items():
+            if key not in mapping:
+                raise TypeError(f"unknown setting: {key}")
+            updates[key] = mapping[key](value)
+        self.settings = self.settings.replace(**updates)
+        return 0
+
+    def set_cache_terms(self, Kinf, Pinf, Quu_inv, AmBKt, *, verbose=False):
+        """Inject externally computed cache terms, bypassing the Riccati
+        precompute (bindings.cpp:262-293; TinyMPC.jl:276-290)."""
+        self._require_setup()
+        dt = self.dtype
+        self.cache = self.cache.replace(
+            Kinf=jnp.asarray(np.asarray(Kinf, float), dt),
+            Pinf=jnp.asarray(np.asarray(Pinf, float), dt),
+            Quu_inv=jnp.asarray(np.asarray(Quu_inv, float), dt),
+            AmBKt=jnp.asarray(np.asarray(AmBKt, float), dt))
+        return 0
+
+    # -- solve ---------------------------------------------------------------
+
+    def solve(self, *, verbose=False):
+        """Run ADMM to convergence; persists workspace + cache for warm starts
+        (the reference's singleton persistence, SURVEY.md §5.4).  Returns 0 on
+        convergence, 1 on max_iter exhaustion (admm.cpp:192,206)."""
+        self._require_setup()
+        self.state, self.cache, self.solution = admm.solve(
+            self.problem, self.cache, self.settings, self.state,
+            horizon_parallel=self.horizon_parallel)
+        status = 1 - int(self.solution.solved)
+        if verbose:
+            print(f"Solve completed with status: {status}")
+        return status
+
+    def get_solution(self) -> MPCSolution:
+        """(states=(nx, N), controls=(nu, N-1)) — the slack iterates, like the
+        reference (admm.cpp:187-188; TinyMPC.jl:150-177)."""
+        self._require_setup()
+        if self.solution is None:
+            raise RuntimeError("No solution available; call solve() first")
+        return MPCSolution(states=np.asarray(self.solution.x).T,
+                           controls=np.asarray(self.solution.u).T)
+
+    # -- sensitivity ---------------------------------------------------------
+
+    def compute_sensitivity_autograd(self):
+        """Exact d/d rho of the Julia-style LQR terms (jacfwd), replacing the
+        reference's finite differences (TinyMPC.jl:301-321).  Returns
+        (dK, dP, dC1, dC2) as numpy arrays."""
+        self._require_setup()
+        u = self._user
+        dt = self.dtype
+        out = riccati.compute_sensitivity_autograd(
+            jnp.asarray(u["A"], dt), jnp.asarray(u["B"], dt),
+            jnp.asarray(u["Q"], dt), jnp.asarray(u["R"], dt), u["rho"])
+        return tuple(np.asarray(m) for m in out)
+
+    # -- diagnostics ---------------------------------------------------------
+
+    def print_problem_data(self, *, verbose=False):
+        """Debug dump mirroring print_problem_data (bindings.cpp:228-259)."""
+        self._require_setup()
+        sol = self.solution
+        print("=== TinyMPC Problem Data ===")
+        print(f"Solution: iter={0 if sol is None else int(sol.iter)}, "
+              f"solved={0 if sol is None else int(sol.solved)}")
+        print(f"Cache: rho={float(self.cache.rho)}")
+        print(f"Settings: max_iter={self.settings.max_iter}, "
+              f"abs_pri_tol={self.settings.abs_pri_tol}, "
+              f"abs_dua_tol={self.settings.abs_dua_tol}")
+        print(f"Problem: nx={self.problem.nx}, nu={self.problem.nu}")
+        if verbose and sol is not None:
+            print(f"States x:\n{np.asarray(sol.x).T}")
+            print(f"Controls u:\n{np.asarray(sol.u).T}")
+            print(f"Cache Kinf:\n{np.asarray(self.cache.Kinf)}")
+            print(f"Cache Pinf:\n{np.asarray(self.cache.Pinf)}")
+        return 0
+
+    # -- codegen / persistence ----------------------------------------------
+
+    def codegen(self, output_dir, *, verbose=False):
+        """Emit a standalone, dependency-free C++ project with the solver state
+        baked in (analog of tiny_codegen, codegen.cpp:56-68)."""
+        self._require_setup()
+        from .codegen import emitter
+        emitter.codegen(self, output_dir, verbose=verbose)
+        return 0
+
+    def codegen_with_sensitivity(self, output_dir, dK, dP, dC1, dC2, *,
+                                 verbose=False):
+        """Codegen with explicit sensitivity matrices for adaptive-rho
+        (codegen.cpp:79-85): stores them in the cache iff adaptive_rho is
+        enabled, then emits."""
+        self._require_setup()
+        dt = self.dtype
+        if self.settings.adaptive_rho:
+            self.cache = self.cache.replace(
+                dKinf_drho=jnp.asarray(np.asarray(dK, float), dt),
+                dPinf_drho=jnp.asarray(np.asarray(dP, float), dt),
+                dC1_drho=jnp.asarray(np.asarray(dC1, float), dt),
+                dC2_drho=jnp.asarray(np.asarray(dC2, float), dt))
+        from .codegen import emitter
+        emitter.codegen(self, output_dir, verbose=verbose)
+        return 0
+
+    def save(self, path):
+        """Checkpoint the full solver (problem + cache + settings + workspace)
+        — the value-semantics analog of codegen's baked-state serialization
+        (SURVEY.md §5.4)."""
+        self._require_setup()
+        from .utils import checkpoint
+        checkpoint.save(path, self)
+
+    @classmethod
+    def load(cls, path):
+        from .utils import checkpoint
+        return checkpoint.load(path, cls)
