@@ -1,0 +1,65 @@
+"""Settings behavior mirroring /root/reference/tests/test_settings.jl."""
+import numpy as np
+import pytest
+
+from tinympc_julia_tpu.models import cartpole
+
+
+def test_custom_tolerances_setup():
+    # test_settings.jl:17-32
+    s = cartpole.make_solver(abs_pri_tol=1e-5, abs_dua_tol=1e-5, max_iter=300)
+    s.set_x0([0.1, 0.0, 0.0, 0.0])
+    status = s.solve()
+    assert status == 0
+    # Residuals stored on the final check must satisfy the tight tolerances.
+    assert float(s.state.primal_residual_state) < 1e-5
+    assert float(s.state.dual_residual_input) < 1e-5
+
+
+def test_update_settings_roundtrip_then_solve():
+    # test_settings.jl:34-64: all-params update then solve.
+    s = cartpole.make_solver()
+    s.update_settings(
+        abs_pri_tol=2e-3, abs_dua_tol=2e-3, max_iter=77, check_termination=2,
+        en_state_bound=False, en_input_bound=False, en_state_soc=False,
+        en_input_soc=False, en_state_linear=False, en_input_linear=False,
+        adaptive_rho=False, adaptive_rho_min=0.5, adaptive_rho_max=50.0,
+        adaptive_rho_enable_clipping=True)
+    assert s.settings.max_iter == 77
+    assert s.settings.check_termination == 2
+    s.set_x0([0.5, 0.0, 0.0, 0.0])
+    assert s.solve() in (0, 1)
+    # check_termination=2 -> iteration count must be even on convergence.
+    assert int(s.solution.iter) % 2 == 0
+
+
+def test_adaptive_rho_settings_accepted():
+    # test_settings.jl:66-76 — and unlike the reference (which needs
+    # codegen-provided sensitivities), the adaptive solve actually runs here
+    # because sensitivities are computed exactly at setup.
+    s = cartpole.make_solver(adaptive_rho=True, adaptive_rho_min=0.5,
+                             adaptive_rho_max=5.0)
+    assert s.settings.adaptive_rho
+    s.set_x0([0.5, 0.0, 0.0, 0.0])
+    assert s.solve() in (0, 1)
+    assert 0.5 <= float(s.cache.rho) <= 5.0
+
+
+def test_max_iter_one_no_crash():
+    # test_settings.jl:78-92
+    s = cartpole.make_solver(max_iter=1)
+    s.set_x0([0.5, 0.0, 0.0, 0.0])
+    status = s.solve()
+    assert status >= 0
+    assert int(s.solution.iter) == 1
+
+
+def test_check_termination_zero_disables():
+    """check_termination=0 runs exactly max_iter iterations (the reference
+    would modulo-by-zero; this framework defines 0 = disabled)."""
+    s = cartpole.make_solver(max_iter=12)
+    s.update_settings(check_termination=0)
+    s.set_x0([0.01, 0.0, 0.0, 0.0])
+    status = s.solve()
+    assert status == 1  # never "converges" by check
+    assert int(s.solution.iter) == 12

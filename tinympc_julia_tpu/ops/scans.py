@@ -33,11 +33,14 @@ def _affine_scan_suffix(M, b):
     T = b.shape[0]
     Ms = jnp.broadcast_to(M, (T,) + M.shape)
 
-    def combine(left, right):
-        M1, b1 = left
-        M2, b2 = right
-        return (jnp.einsum("...ij,...jk->...ik", M1, M2),
-                jnp.einsum("...ij,...j->...i", M1, b2) + b1)
+    # `lax.associative_scan(reverse=True)` flips, scans, flips back: the first
+    # combine argument is the element *nearer the end* of the array, i.e. the
+    # affine map applied FIRST.  combine(a, b) = "apply a, then b".
+    def combine(first, second):
+        M1, b1 = first
+        M2, b2 = second
+        return (jnp.einsum("...ij,...jk->...ik", M2, M1),
+                jnp.einsum("...ij,...j->...i", M2, b1) + b2)
 
     return lax.associative_scan(combine, (Ms, b), reverse=True, axis=0)
 
