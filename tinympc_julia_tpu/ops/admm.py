@@ -146,23 +146,16 @@ def _tree_select(pred, on_true, on_false):
         lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "horizon_parallel"))
-def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
-          *, horizon_parallel: bool = False
-          ) -> Tuple[State, Cache, Solution]:
-    """One full ADMM solve.  Pure: returns the advanced (state, cache) plus the
-    Solution; callers persist state/cache for warm starts (the reference's
-    singleton workspace persistence, SURVEY.md §5.4).
+def make_loop_fns(problem: Problem, settings: Settings, *,
+                  horizon_parallel: bool = False, dtype=None):
+    """Build (cond_fn, body_fn) for the ADMM while-loop over the carry
+    ``(state, cache, z_prev, v_prev, converged, i)``.
 
-    Note: `settings` is static — flags/max_iter select compiled control flow.
-    Tolerances inside Settings are Python floats here; they are baked into the
-    compiled program (recompile on change, matching how often the reference
-    re-runs setup).
+    Exposed so the parallel layer can reuse the exact single-instance
+    iteration inside custom batched/sharded loops (parallel/batch.py,
+    parallel/sharded.py) without duplicating the reference semantics.
     """
-    dtype = state.x.dtype
-    state = state.replace(status=jnp.asarray(TINY_UNSOLVED, jnp.int32),
-                          iter=jnp.zeros((), jnp.int32))
-
+    dtype = dtype or problem.A.dtype
     pri_tol = jnp.asarray(settings.abs_pri_tol, dtype)
     dua_tol = jnp.asarray(settings.abs_dua_tol, dtype)
 
@@ -232,10 +225,19 @@ def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
 
         return (st, ca, z_prev, v_prev, converged, i + 1)
 
-    carry0 = (state, cache, state.znew, state.vnew,
-              jnp.asarray(False), jnp.zeros((), jnp.int32))
-    state, cache, _, _, converged, _ = lax.while_loop(cond_fn, body_fn, carry0)
+    return cond_fn, body_fn
 
+
+def init_carry(state: State, cache: Cache):
+    """Initial while-loop carry (solve() preamble, admm.cpp:112-127)."""
+    state = state.replace(status=jnp.asarray(TINY_UNSOLVED, jnp.int32),
+                          iter=jnp.zeros((), jnp.int32))
+    return (state, cache, state.znew, state.vnew,
+            jnp.asarray(False), jnp.zeros((), jnp.int32))
+
+
+def finalize(carry) -> Tuple[State, Cache, Solution]:
+    state, cache, _, _, converged, _ = carry
     solution = Solution(
         iter=state.iter,
         solved=converged.astype(jnp.int32),
@@ -243,3 +245,39 @@ def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
         u=state.znew,
     )
     return state, cache, solution
+
+
+def solve_impl(problem: Problem, cache: Cache, settings: Settings,
+               state: State, *, horizon_parallel: bool = False
+               ) -> Tuple[State, Cache, Solution]:
+    """Unjitted solve — compose with vmap/shard_map; prefer `solve` directly.
+
+    Traced under full float32 matmul precision: the TPU MXU's default
+    bf16-input passes inject ~1e-2 relative noise into the Riccati
+    recursions, stalling ADMM dual residuals above the 1e-3 tolerances.
+    The matmuls here are tiny (nx, nu <= 128 = one MXU tile), so HIGHEST
+    precision costs little and restores CPU-equivalent convergence.
+    """
+    with jax.default_matmul_precision("highest"):
+        cond_fn, body_fn = make_loop_fns(problem, settings,
+                                         horizon_parallel=horizon_parallel,
+                                         dtype=state.x.dtype)
+        carry = lax.while_loop(cond_fn, body_fn, init_carry(state, cache))
+        return finalize(carry)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "horizon_parallel"))
+def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
+          *, horizon_parallel: bool = False
+          ) -> Tuple[State, Cache, Solution]:
+    """One full ADMM solve.  Pure: returns the advanced (state, cache) plus the
+    Solution; callers persist state/cache for warm starts (the reference's
+    singleton workspace persistence, SURVEY.md §5.4).
+
+    Note: `settings` is static — flags/max_iter select compiled control flow.
+    Tolerances inside Settings are Python floats here; they are baked into the
+    compiled program (recompile on change, matching how often the reference
+    re-runs setup).
+    """
+    return solve_impl(problem, cache, settings, state,
+                      horizon_parallel=horizon_parallel)

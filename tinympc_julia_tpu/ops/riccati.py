@@ -100,8 +100,11 @@ def precompute_cache(A, B, Q_work_diag, R_work_diag, rho, *, max_iter: int = 100
     R_user = R_work_diag - rho
 
     def terms(r):
-        return _cache_terms(A, B, Q_user + r, R_user + r, r,
-                            max_iter=max_iter, tol=tol)
+        # Full f32 matmul precision: the MXU's default bf16 passes are far too
+        # coarse for a 1000-iteration fixed point.
+        with jax.default_matmul_precision("highest"):
+            return _cache_terms(A, B, Q_user + r, R_user + r, r,
+                                max_iter=max_iter, tol=tol)
 
     Kinf, Pinf, Quu_inv, AmBKt = terms(rho)
     if compute_sensitivity:
