@@ -23,15 +23,15 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
-    from tinympc_julia_tpu import (Settings, init_state, make_problem,
-                                   precompute_cache)
+    from tinympc_julia_tpu import Settings, make_problem, precompute_cache
     from tinympc_julia_tpu.models import cartpole
-    from tinympc_julia_tpu.parallel import broadcast_state, set_x0_batch
-    from tinympc_julia_tpu.parallel.batch import solve_batch
+    from tinympc_julia_tpu.ops.condensed import build_condensed, solve_condensed
 
     dtype = jnp.float32
     N = cartpole.HORIZON
-    B = 4096
+    B = 65536          # instances per measured batch
+    B2 = 8192          # phase-2 straggler batch (compacted)
+    ALPHA = 1.7        # over-relaxation
 
     p = make_problem(jnp.asarray(cartpole.A, dtype),
                      jnp.asarray(cartpole.B, dtype),
@@ -39,30 +39,48 @@ def main():
                      jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
                      cartpole.RHO, N, u_min=-5.0, u_max=5.0)
     c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(cartpole.RHO, dtype))
-    s = Settings(max_iter=500, en_state_bound=False, en_input_bound=True)
+    maps = build_condensed(p, c)
+    s1 = Settings(max_iter=100, en_state_bound=False, en_input_bound=True,
+                  relaxation_alpha=ALPHA)
+    s2 = Settings(max_iter=400, en_state_bound=False, en_input_bound=True,
+                  relaxation_alpha=ALPHA)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
-    st0 = set_x0_batch(broadcast_state(init_state(4, 1, N, dtype), B), x0s)
 
-    # Warmup / compile
-    stb, _, sol = solve_batch(p, c, s, st0)
-    jax.block_until_ready(sol.u)
-    n_conv = int(np.sum(np.asarray(sol.solved)))
-    iters = np.asarray(sol.iter)
-    log(f"bench: backend={jax.default_backend()} batch={B} "
-        f"converged={n_conv}/{B} mean_iters={iters.mean():.1f}")
+    def run():
+        """Two-phase solve: bulk pass, then compact the stragglers and finish
+        them.  Returns (converged_count, total_iterations)."""
+        _, _, it1, ok1 = solve_condensed(p, c, s1, x0s, maps)
+        unconv = ok1 == 0
+        idx = jnp.nonzero(unconv, size=B2, fill_value=0)[0]
+        _, _, it2, ok2 = solve_condensed(p, c, s2, x0s[idx], maps)
+        jax.block_until_ready(ok2)
+        return it1, ok1, idx, it2, ok2, unconv
+
+    # Warmup / compile both phases
+    it1, ok1, idx, it2, ok2, unconv = run()
+    n1 = int(np.sum(np.asarray(ok1)))
+    n_straggler = int(np.sum(np.asarray(unconv)))
+    mask2 = np.zeros(B2, bool)
+    mask2[:n_straggler] = True  # nonzero() packs real indices first
+    n2 = int(np.sum(np.asarray(ok2)[mask2]))
+    n_conv = n1 + n2
+    total_iters = float(np.sum(np.asarray(it1))
+                        + np.sum(np.asarray(it2)[mask2]))
+    log(f"bench: backend={jax.default_backend()} batch={B} alpha={ALPHA} "
+        f"phase1 converged={n1}/{B}, stragglers={n_straggler}, "
+        f"phase2 converged={n2} -> total {n_conv}/{B} "
+        f"({100.0 * n_conv / B:.2f}%)")
 
     reps = 20
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _, _, sol = solve_batch(p, c, s, st0)
-        jax.block_until_ready(sol.u)
+        run()
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     solves_per_sec = n_conv / t
-    total_iters = float(iters.sum())
     log(f"bench: median batch time {t * 1e3:.2f} ms over {reps} reps; "
         f"{solves_per_sec:.0f} converged solves/s; "
         f"{total_iters / t:.2e} ADMM iters/s")

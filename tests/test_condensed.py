@@ -1,0 +1,128 @@
+"""Condensed-iteration formulation + over-relaxation tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tinympc_julia_tpu import Settings, init_state, make_problem, precompute_cache
+from tinympc_julia_tpu.models import cartpole, quadrotor
+from tinympc_julia_tpu.ops import admm
+from tinympc_julia_tpu.ops.condensed import build_condensed, solve_condensed
+from tinympc_julia_tpu.parallel import broadcast_state, set_x0_batch
+from tinympc_julia_tpu.parallel.batch import solve_batch
+
+
+def _mk(model, rho, ub, N=20, x_bounds=None):
+    p = make_problem(jnp.asarray(model.A), jnp.asarray(model.B),
+                     jnp.asarray(np.diag(model.Q_DIAG)),
+                     jnp.asarray(np.diag(model.R_DIAG)), rho, N,
+                     u_min=-ub, u_max=ub,
+                     x_min=None if x_bounds is None else -x_bounds,
+                     x_max=x_bounds)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(rho, p.A.dtype))
+    return p, c
+
+
+class TestCondensed:
+    def test_matches_sequential_exactly(self):
+        """In float64 the condensed path reproduces the sequential ADMM
+        bit-for-bit(-tolerance): same per-lane iteration counts, same
+        solutions."""
+        p, c = _mk(cartpole, 1.0, 5.0)
+        s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True)
+        rng = np.random.default_rng(0)
+        B = 64
+        x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)))
+        xs, us, iters, solved = solve_condensed(p, c, s, x0s)
+
+        st0 = set_x0_batch(
+            broadcast_state(init_state(4, 1, 20, p.A.dtype), B), x0s)
+        _, _, sol = solve_batch(p, c, s, st0)
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_array_equal(np.asarray(solved),
+                                      np.asarray(sol.solved))
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(sol.x),
+                                   atol=1e-11)
+
+    def test_quadrotor_with_state_bounds(self):
+        p, c = _mk(quadrotor, 5.0, 0.5, x_bounds=np.full(12, 2.0))
+        s = Settings(max_iter=300, en_state_bound=True, en_input_bound=True)
+        rng = np.random.default_rng(1)
+        B = 16
+        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 12)))
+        xs, us, iters, solved = solve_condensed(p, c, s, x0s)
+        st0 = set_x0_batch(
+            broadcast_state(init_state(12, 4, 20, p.A.dtype), B), x0s)
+        _, _, sol = solve_batch(p, c, s, st0)
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=1e-10)
+
+    def test_tracking_references(self):
+        """Nonzero Xref/Uref flow through the condensed maps."""
+        rng = np.random.default_rng(2)
+        Xref = rng.normal(size=(20, 4)) * 0.1
+        Uref = rng.normal(size=(19, 1)) * 0.05
+        p = make_problem(jnp.asarray(cartpole.A), jnp.asarray(cartpole.B),
+                         jnp.asarray(np.diag(cartpole.Q_DIAG)),
+                         jnp.asarray(np.diag(cartpole.R_DIAG)), 1.0, 20,
+                         u_min=-5.0, u_max=5.0,
+                         Xref=jnp.asarray(Xref), Uref=jnp.asarray(Uref))
+        c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, p.A.dtype))
+        s = Settings(max_iter=200, en_state_bound=False, en_input_bound=True)
+        B = 8
+        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 4)))
+        xs, us, iters, solved = solve_condensed(p, c, s, x0s)
+        st0 = set_x0_batch(
+            broadcast_state(init_state(4, 1, 20, p.A.dtype), B), x0s)
+        _, _, sol = solve_batch(p, c, s, st0)
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=1e-10)
+
+
+class TestOverRelaxation:
+    def test_alpha_one_is_reference(self):
+        """relaxation_alpha=1.0 must not change anything (golden parity tests
+        already pin this globally; direct check here)."""
+        p, c = _mk(cartpole, 1.0, 1.0)
+        st = init_state(4, 1, 20, p.A.dtype)
+        st = st.replace(x=st.x.at[0].set(jnp.asarray([1.0, 0.0, 0.2, 0.0])))
+        s1 = Settings(max_iter=100, en_state_bound=False, en_input_bound=True)
+        s2 = s1.replace(relaxation_alpha=1.0)
+        _, _, a = admm.solve(p, c, s1, st)
+        _, _, b = admm.solve(p, c, s2, st)
+        np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+
+    def test_alpha_accelerates_and_agrees(self):
+        """alpha=1.6 converges in fewer iterations to the same solution
+        (within tolerance-level difference)."""
+        p, c = _mk(cartpole, 1.0, 1.0)
+        st = init_state(4, 1, 20, p.A.dtype)
+        st = st.replace(x=st.x.at[0].set(jnp.asarray([1.5, 0.0, 0.3, 0.0])))
+        tight = dict(abs_pri_tol=1e-6, abs_dua_tol=1e-6)
+        s1 = Settings(max_iter=2000, en_state_bound=False, en_input_bound=True,
+                      **tight)
+        s2 = s1.replace(relaxation_alpha=1.6)
+        _, _, a = admm.solve(p, c, s1, st)
+        _, _, b = admm.solve(p, c, s2, st)
+        assert int(b.iter) < int(a.iter), (int(a.iter), int(b.iter))
+        assert int(b.solved) == 1
+        np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
+                                   atol=1e-4)
+
+    def test_condensed_alpha_matches_sequential_alpha(self):
+        p, c = _mk(cartpole, 1.0, 5.0)
+        s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True,
+                     relaxation_alpha=1.7)
+        rng = np.random.default_rng(3)
+        B = 32
+        x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)))
+        xs, us, iters, solved = solve_condensed(p, c, s, x0s)
+        st0 = set_x0_batch(
+            broadcast_state(init_state(4, 1, 20, p.A.dtype), B), x0s)
+        _, _, sol = solve_batch(p, c, s, st0)
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=1e-11)

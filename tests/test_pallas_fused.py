@@ -1,0 +1,46 @@
+"""Fused Pallas solver kernel vs the XLA path (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tinympc_julia_tpu import Settings, init_state, make_problem, precompute_cache
+from tinympc_julia_tpu.models import cartpole
+from tinympc_julia_tpu.ops.pallas import make_fused_solver
+from tinympc_julia_tpu.parallel import broadcast_state, set_x0_batch
+from tinympc_julia_tpu.parallel.batch import solve_batch
+
+
+def test_fused_matches_xla():
+    dtype = jnp.float32
+    N = 20
+    B = 256
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+
+    solver = make_fused_solver(4, 1, N, batch_tile=128, max_iter=60,
+                               en_input_bound=True, en_state_bound=False,
+                               interpret=jax.default_backend() != "tpu")
+    xs, us, iters, solved = solver(p.A, p.B, p.f, p.Q, p.R, c.rho, c.Kinf,
+                                   c.Quu_inv, c.AmBKt, c.Pinf,
+                                   p.x_min, p.x_max, p.u_min, p.u_max,
+                                   p.Xref, p.Uref, x0s)
+
+    st0 = set_x0_batch(broadcast_state(init_state(4, 1, N, dtype), B), x0s)
+    s = Settings(max_iter=60, en_state_bound=False, en_input_bound=True)
+    _, _, sol = solve_batch(p, c, s, st0)
+
+    both = (np.asarray(solved) == 1) & (np.asarray(sol.solved) == 1)
+    assert both.sum() > B // 2
+    np.testing.assert_array_equal(np.asarray(iters)[both],
+                                  np.asarray(sol.iter)[both])
+    np.testing.assert_allclose(np.asarray(us)[both], np.asarray(sol.u)[both],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs)[both], np.asarray(sol.x)[both],
+                               atol=1e-5)

@@ -58,11 +58,22 @@ def forward_pass(state: State, problem: Problem, cache: Cache) -> State:
     return state.replace(x=x, u=u)
 
 
+def _relaxed(settings: Settings, state: State):
+    """Over-relaxed iterates u_hat/x_hat (alpha=1 reduces to the reference's
+    plain u/x; z/v are the previous slack iterates)."""
+    a = settings.relaxation_alpha
+    if a == 1.0:
+        return state.u, state.x
+    return a * state.u + (1.0 - a) * state.z, a * state.x + (1.0 - a) * state.v
+
+
 def update_slack(state: State, problem: Problem, settings: Settings) -> State:
-    """znew = u + y, vnew = x + g, then project onto the feasible sets
-    (admm.cpp:43-59 + submodule constraint families)."""
-    znew = state.u + state.y
-    vnew = state.x + state.g
+    """znew = u_hat + y, vnew = x_hat + g, then project onto the feasible sets
+    (admm.cpp:43-59 + submodule constraint families; u_hat = u when
+    relaxation_alpha == 1, the reference behavior)."""
+    u_hat, x_hat = _relaxed(settings, state)
+    znew = u_hat + state.y
+    vnew = x_hat + state.g
 
     if settings.en_input_bound:
         znew = projections.project_box(znew, problem.u_min, problem.u_max)
@@ -80,11 +91,16 @@ def update_slack(state: State, problem: Problem, settings: Settings) -> State:
     return state.replace(znew=znew, vnew=vnew)
 
 
-def update_dual(state: State) -> State:
-    """Dual ascent: y += u - znew;  g += x - vnew (admm.cpp:65-69)."""
+def update_dual(state: State, settings: Settings = None) -> State:
+    """Dual ascent: y += u_hat - znew;  g += x_hat - vnew (admm.cpp:65-69;
+    u_hat = u at alpha = 1)."""
+    if settings is None or settings.relaxation_alpha == 1.0:
+        u_hat, x_hat = state.u, state.x
+    else:
+        u_hat, x_hat = _relaxed(settings, state)
     return state.replace(
-        y=state.y + state.u - state.znew,
-        g=state.g + state.x - state.vnew,
+        y=state.y + u_hat - state.znew,
+        g=state.g + x_hat - state.vnew,
     )
 
 
@@ -172,7 +188,7 @@ def make_loop_fns(problem: Problem, settings: Settings, *,
         else:
             st = forward_pass(st, problem, ca)
         st = update_slack(st, problem, settings)
-        st = update_dual(st)
+        st = update_dual(st, settings)
         st = update_linear_cost(st, problem, ca)
         st = st.replace(iter=st.iter + 1)
 

@@ -1,0 +1,272 @@
+"""Condensed-iteration formulation: the whole ADMM iteration as two dense
+affine maps.
+
+The reference's per-iteration work is two sequential sweeps over the horizon
+(forward rollout admm.cpp:25-35, backward recursion admm.cpp:13-20) — a chain
+of 2(N-1) dependent (nx,nx)-sized matvecs that leaves the MXU idle between
+tiny dependent ops.  But with the Riccati gains frozen (the whole point of
+TinyMPC), both sweeps are LINEAR in the iterate, so the horizon recursions can
+be *condensed* into block-Toeplitz matrices of closed-loop powers, built once
+at setup:
+
+    [u; x]           = T1 @ [d; y; g; x0; 1]        (rollout, all stages)
+    d'               = T2 @ [znew; vnew; y'; g'; 1]  (backward, all stages)
+
+and the nonlinear rest of the iteration (slack clip, dual ascent, residuals)
+is elementwise.  One ADMM iteration for a batch of B instances becomes two
+(≈(nx·N) x (nx·N)) x (dim, B) MXU matmuls + VPU elementwise — no serial
+chain, full MXU utilization.  This is the TPU-native answer to the
+reference's sweep loop; results match the sequential path up to float
+reassociation.
+
+Scope: box constraints, shared problem across the batch (the throughput
+workload).  General constraints/per-instance problems use ops/admm.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Cache, Problem, Settings
+
+
+class CondensedMaps(NamedTuple):
+    """Precomputed dense iteration maps (see module docstring).
+
+    Shapes (su = (N-1)*nu, sx = N*nx):
+      T1:  (su + sx, su + su + sx + nx + 1)   [d; y; g; x0; 1] -> [u; x]
+      T2:  (su, su + sx + su + sx + 1)        [znew; vnew; y'; g'; 1] -> d'
+    """
+    T1: jax.Array
+    T2: jax.Array
+
+
+def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
+    """Build T1/T2 in float64 on host, cast to the problem dtype."""
+    nx, nu, N = problem.nx, problem.nu, problem.N
+    su = (N - 1) * nu
+    sx = N * nx
+
+    A = np.asarray(problem.A, np.float64)
+    B = np.asarray(problem.B, np.float64)
+    f = np.asarray(problem.f, np.float64)
+    K = np.asarray(cache.Kinf, np.float64)
+    Quu = np.asarray(cache.Quu_inv, np.float64)
+    Am = np.asarray(cache.AmBKt, np.float64)
+    Pinf = np.asarray(cache.Pinf, np.float64)
+    rho = float(cache.rho)
+    Qd = np.asarray(problem.Q, np.float64)
+    Rd = np.asarray(problem.R, np.float64)
+    Xref = np.asarray(problem.Xref, np.float64)
+    Uref = np.asarray(problem.Uref, np.float64)
+
+    M = A - B @ K  # closed-loop matrix
+
+    # --- T1: rollout.  x_0 = x0;  x_{i+1} = M x_i + f - B d_i;
+    #         u_i = -K x_i - d_i.
+    # x_i = M^i x0 + sum_{j<i} M^(i-1-j) (f - B d_j)
+    powers = [np.eye(nx)]
+    for _ in range(N):
+        powers.append(M @ powers[-1])
+
+    # x rows: (sx, su) in d, (sx, nx) in x0, (sx, 1) const
+    X_d = np.zeros((sx, su))
+    X_x0 = np.zeros((sx, nx))
+    X_c = np.zeros((sx, 1))
+    for i in range(N):
+        X_x0[i * nx:(i + 1) * nx] = powers[i]
+        for j in range(i):
+            X_d[i * nx:(i + 1) * nx, j * nu:(j + 1) * nu] = \
+                -powers[i - 1 - j] @ B
+            X_c[i * nx:(i + 1) * nx, 0] += powers[i - 1 - j] @ f
+    # u rows: u_i = -K x_i - d_i (i = 0..N-2)
+    U_d = np.zeros((su, su))
+    U_x0 = np.zeros((su, nx))
+    U_c = np.zeros((su, 1))
+    for i in range(N - 1):
+        r0, r1 = i * nu, (i + 1) * nu
+        U_d[r0:r1] = -K @ X_d[i * nx:(i + 1) * nx]
+        U_d[r0:r1, r0:r1] -= np.eye(nu)
+        U_x0[r0:r1] = -K @ X_x0[i * nx:(i + 1) * nx]
+        U_c[r0:r1] = -K @ X_c[i * nx:(i + 1) * nx]
+
+    # input vector layout: [d (su); y (su); g (sx); x0 (nx); 1]
+    in1 = su + su + sx + nx + 1
+    T1 = np.zeros((su + sx, in1))
+    T1[:su, :su] = U_d
+    T1[:su, su + su + sx:su + su + sx + nx] = U_x0
+    T1[:su, -1:] = U_c
+    T1[su:, :su] = X_d
+    T1[su:, su + su + sx:su + su + sx + nx] = X_x0
+    T1[su:, -1:] = X_c
+    # (y and g columns are zero in T1 — kept for a single unified input vec)
+
+    # --- T2: backward.  r_i = rref_i - rho (znew_i - y'_i)
+    #         q_i = qref_i - rho (vnew_i - g'_i)
+    #         p_{N-1} = pNref - rho (vnew_{N-1} - g'_{N-1})
+    #         p_i = Am p_{i+1} + (q_i - K^T r_i)
+    #         d'_i = Quu (B^T p_{i+1} + r_i)
+    rref = (-(Uref * Rd)).reshape(su, 1)
+    qref = (-(Xref * Qd)).reshape(sx, 1)
+    pNref = (-(Pinf.T @ Xref[-1])).reshape(nx, 1)
+
+    # Build p_i as affine in [znew; vnew; y'; g'; 1]
+    in2 = su + sx + su + sx + 1
+    iz, iv, iy, ig = 0, su, su + sx, su + sx + su
+
+    def r_row(i):
+        """r_i as (nu, in2) affine map."""
+        R = np.zeros((nu, in2))
+        r0 = i * nu
+        R[:, iz + r0:iz + r0 + nu] = -rho * np.eye(nu)
+        R[:, iy + r0:iy + r0 + nu] = rho * np.eye(nu)
+        R[:, -1:] = rref[r0:r0 + nu]
+        return R
+
+    def q_row(i):
+        Q = np.zeros((nx, in2))
+        r0 = i * nx
+        Q[:, iv + r0:iv + r0 + nx] = -rho * np.eye(nx)
+        Q[:, ig + r0:ig + r0 + nx] = rho * np.eye(nx)
+        Q[:, -1:] = qref[r0:r0 + nx]
+        return Q
+
+    pN = np.zeros((nx, in2))
+    r0 = (N - 1) * nx
+    pN[:, iv + r0:iv + r0 + nx] = -rho * np.eye(nx)
+    pN[:, ig + r0:ig + r0 + nx] = rho * np.eye(nx)
+    pN[:, -1:] = pNref
+
+    T2 = np.zeros((su, in2))
+    p_next = pN
+    for i in range(N - 2, -1, -1):
+        ri = r_row(i)
+        d_i = Quu @ (B.T @ p_next + ri)
+        T2[i * nu:(i + 1) * nu] = d_i
+        p_next = q_row(i) + Am @ p_next - K.T @ ri
+
+    dtype = problem.A.dtype
+    return CondensedMaps(T1=jnp.asarray(T1, dtype), T2=jnp.asarray(T2, dtype))
+
+
+def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
+                          settings: Settings, x0s):
+    """Batched fresh solve via the condensed maps.  x0s: (B, nx).
+
+    Returns (x (B, N, nx), u (B, N-1, nu), iters (B,), solved (B,)) —
+    solutions are the slack iterates, reference semantics.
+    """
+    nx, nu, N = problem.nx, problem.nu, problem.N
+    su, sx = (N - 1) * nu, N * nx
+    B = x0s.shape[0]
+    dtype = x0s.dtype
+    rho = jnp.asarray(cache.rho, dtype)
+
+    umin = problem.u_min.reshape(su, 1)
+    umax = problem.u_max.reshape(su, 1)
+    xmin = problem.x_min.reshape(sx, 1)
+    xmax = problem.x_max.reshape(sx, 1)
+
+    pri_tol = jnp.asarray(settings.abs_pri_tol, dtype)
+    dua_tol = jnp.asarray(settings.abs_dua_tol, dtype)
+
+    T1, T2 = maps.T1, maps.T2
+    x0T = x0s.T  # (nx, B)
+    ones = jnp.ones((1, B), dtype)
+
+    def mm(Tm, vec):
+        return jax.lax.dot_general(
+            Tm, vec, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def body(carry):
+        d, y, g, v, z, out_x, out_u, out_it, out_solved, conv, i = carry
+
+        vec1 = jnp.concatenate([d, y, g, x0T, ones], axis=0)
+        ux = mm(T1, vec1)
+        u = ux[:su]
+        x = ux[su:]
+
+        alpha = settings.relaxation_alpha
+        if alpha != 1.0:
+            u_hat = alpha * u + (1.0 - alpha) * z
+            x_hat = alpha * x + (1.0 - alpha) * v
+        else:
+            u_hat, x_hat = u, x
+        znew = u_hat + y
+        if settings.en_input_bound:
+            znew = jnp.clip(znew, umin, umax)
+        vnew = x_hat + g
+        if settings.en_state_bound:
+            vnew = jnp.clip(vnew, xmin, xmax)
+
+        y = y + u_hat - znew
+        g = g + x_hat - vnew
+
+        # termination residuals (admm.cpp:93-96)
+        ps = jnp.max(jnp.abs(x - vnew), axis=0)
+        pi = jnp.max(jnp.abs(u - znew), axis=0)
+        ds = jnp.max(jnp.abs(v - vnew), axis=0) * rho
+        di = jnp.max(jnp.abs(z - znew), axis=0) * rho
+        ok = (ps < pri_tol) & (pi < pri_tol) & (ds < dua_tol) & (di < dua_tol)
+        if settings.check_termination > 1:
+            ok = jnp.logical_and(ok, ((i + 1) % settings.check_termination) == 0)
+        elif settings.check_termination <= 0:
+            ok = jnp.zeros_like(ok)
+        newly = jnp.logical_and(ok, jnp.logical_not(conv))
+
+        out_x = jnp.where(newly[None, :], vnew, out_x)
+        out_u = jnp.where(newly[None, :], znew, out_u)
+        out_it = jnp.where(newly, i + 1, out_it)
+        out_solved = jnp.where(newly, 1, out_solved)
+        conv = jnp.logical_or(conv, newly)
+
+        v = vnew
+        z = znew
+
+        vec2 = jnp.concatenate([znew, vnew, y, g, ones], axis=0)
+        d = mm(T2, vec2)
+
+        return (d, y, g, v, z, out_x, out_u, out_it, out_solved, conv, i + 1)
+
+    def cond(carry):
+        conv, i = carry[-2], carry[-1]
+        return jnp.logical_and(i < settings.max_iter,
+                               jnp.logical_not(jnp.all(conv)))
+
+    zeros_u = jnp.zeros((su, B), dtype)
+    zeros_x = jnp.zeros((sx, B), dtype)
+    carry0 = (zeros_u, zeros_u, zeros_x, zeros_x, zeros_u,
+              zeros_x, zeros_u,
+              jnp.full((B,), settings.max_iter, jnp.int32),
+              jnp.zeros((B,), jnp.int32),
+              jnp.zeros((B,), bool), jnp.zeros((), jnp.int32))
+    (d, y, g, v, z, out_x, out_u, out_it, out_solved, conv, _) = \
+        lax.while_loop(cond, body, carry0)
+
+    # unconverged lanes: last slack iterates (v/z hold vnew/znew after body)
+    out_x = jnp.where(conv[None, :], out_x, v)
+    out_u = jnp.where(conv[None, :], out_u, z)
+
+    xs = out_x.T.reshape(B, N, nx)
+    us = out_u.T.reshape(B, N - 1, nu)
+    return xs, us, out_it, out_solved
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _solve_condensed(problem, cache, maps, x0s, *, settings):
+    return _solve_condensed_impl(problem, cache, maps, settings, x0s)
+
+
+def solve_condensed(problem: Problem, cache: Cache, settings: Settings, x0s,
+                    maps: CondensedMaps | None = None):
+    """Convenience wrapper: build maps if needed and run the condensed solve."""
+    if maps is None:
+        maps = build_condensed(problem, cache)
+    return _solve_condensed(problem, cache, maps, x0s, settings=settings)

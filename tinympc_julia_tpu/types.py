@@ -123,6 +123,10 @@ class Settings:
     abs_dua_tol: Array = 1e-3
     adaptive_rho_min: Array = 1.0
     adaptive_rho_max: Array = 100.0
+    # ADMM over-relaxation factor alpha (1.0 = reference behavior; ~1.6
+    # typically cuts iterations 30-50% for the same fixed point).  Applied as
+    # u_hat = alpha*u + (1-alpha)*z in the slack/dual updates.
+    relaxation_alpha: float = struct.field(pytree_node=False, default=1.0)
 
     max_iter: int = struct.field(pytree_node=False, default=1000)
     # check_termination == k: evaluate residuals every k iterations; 0 disables.
