@@ -82,6 +82,67 @@ class TestCondensed:
                                    atol=1e-10)
 
 
+class TestCondensedConstraints:
+    def test_rocket_cones_match_sequential(self):
+        """Full constraint stack (box + SOC + affine f) in the condensed
+        path matches the sequential solver exactly in f64."""
+        from tinympc_julia_tpu.models import rocket
+        from tinympc_julia_tpu import ConeSet
+        p = make_problem(
+            jnp.asarray(rocket.A), jnp.asarray(rocket.B),
+            jnp.asarray(np.diag(rocket.Q_DIAG)),
+            jnp.asarray(np.diag(rocket.R_DIAG)), 1.0, 10,
+            f=jnp.asarray(rocket.F),
+            x_min=jnp.asarray(rocket.bounds()[0].T),
+            x_max=jnp.asarray(rocket.bounds()[1].T),
+            u_min=-10.0, u_max=105.0,
+            cones_u=ConeSet(mus=jnp.asarray([rocket.MU_INPUT]),
+                            starts=(0,), dims=(3,)),
+            cones_x=ConeSet(mus=jnp.asarray([rocket.MU_STATE]),
+                            starts=(0,), dims=(3,)))
+        Xref, Uref = rocket.reference_trajectory(0)
+        p = p.replace(Xref=jnp.asarray(Xref.T), Uref=jnp.asarray(Uref.T))
+        c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, p.A.dtype))
+        s = Settings(max_iter=80, abs_pri_tol=2e-3, en_state_bound=True,
+                     en_input_bound=True, en_state_soc=True,
+                     en_input_soc=True)
+        B = 4
+        rng = np.random.default_rng(7)
+        x0s = jnp.asarray(rocket.X_INIT[None, :]
+                          * rng.uniform(0.9, 1.1, size=(B, 1)))
+        xs, us, iters, solved = solve_condensed(p, c, s, x0s)
+        st0 = set_x0_batch(
+            broadcast_state(init_state(6, 3, 10, p.A.dtype), B), x0s)
+        _, _, sol = solve_batch(p, c, s, st0)
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=1e-10)
+
+    def test_linear_constraints_match_sequential(self):
+        p = make_problem(jnp.asarray(cartpole.A), jnp.asarray(cartpole.B),
+                         jnp.asarray(np.diag(cartpole.Q_DIAG)),
+                         jnp.asarray(np.diag(cartpole.R_DIAG)), 1.0, 20,
+                         u_min=-5.0, u_max=5.0,
+                         Alin_x=np.array([[1.0, 0.5, 0.0, 0.0]]),
+                         blin_x=np.array([0.4]))
+        c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, p.A.dtype))
+        s = Settings(max_iter=300, en_state_bound=False, en_input_bound=True,
+                     en_state_linear=True)
+        B = 4
+        rng = np.random.default_rng(8)
+        x0s = jnp.asarray(rng.uniform(-0.4, 0.4, size=(B, 4)))
+        xs, us, iters, solved = solve_condensed(p, c, s, x0s)
+        st0 = set_x0_batch(
+            broadcast_state(init_state(4, 1, 20, p.A.dtype), B), x0s)
+        _, _, sol = solve_batch(p, c, s, st0)
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=1e-10)
+        # constraint satisfied on returned plans
+        lhs = np.asarray(xs)[:, :, 0] + 0.5 * np.asarray(xs)[:, :, 1]
+        assert np.all(lhs <= 0.4 + 1e-6)
+
+
 class TestOverRelaxation:
     def test_alpha_one_is_reference(self):
         """relaxation_alpha=1.0 must not change anything (golden parity tests

@@ -154,6 +154,53 @@ def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
     return CondensedMaps(T1=jnp.asarray(T1, dtype), T2=jnp.asarray(T2, dtype))
 
 
+def _halfspaces_stacked(w, Alin, blin, n_stages, dim):
+    """Cyclic halfspace projections on a stacked (n_stages*dim, B) array:
+    per-stage a_j . w_k <= b_j (ops/projections.py semantics on the condensed
+    layout)."""
+    if Alin.shape[0] == 0:
+        return w
+    B = w.shape[1]
+    w3 = w.reshape(n_stages, dim, B)
+    inv_sq = 1.0 / jnp.maximum(jnp.sum(Alin * Alin, axis=-1),
+                               jnp.asarray(1e-30, w.dtype))
+
+    def row_step(w_cur, inp):
+        a, b, s = inp
+        viol = jnp.maximum(jnp.einsum("kdb,d->kb", w_cur, a) - b, 0.0)
+        return w_cur - viol[:, None, :] * (a * s)[None, :, None], None
+
+    w3, _ = lax.scan(row_step, w3, (Alin, blin, inv_sq))
+    return w3.reshape(n_stages * dim, B)
+
+
+def _cones_stacked(w, cones, n_stages, dim):
+    """Scaled-SOC projections on a stacked (n_stages*dim, B) array (per-stage
+    cones, _project_soc_scaled semantics)."""
+    if cones.num_cones == 0:
+        return w
+    B = w.shape[1]
+    w3 = w.reshape(n_stages, dim, B)
+    for k, (start, cdim) in enumerate(zip(cones.starts, cones.dims)):
+        seg = w3[:, start:start + cdim, :]          # (n_stages, cdim, B)
+        vpart = seg[:, :-1, :]
+        s = seg[:, -1, :]
+        mu = cones.mus[k]
+        a = jnp.sqrt(jnp.sum(vpart * vpart, axis=1))
+        u0 = s * mu
+        safe_a = jnp.maximum(a, jnp.asarray(1e-30, w.dtype))
+        factor = (a + u0) / (2.0 * safe_a)
+        proj_v = factor[:, None, :] * vpart
+        proj_s = factor * (a / mu)
+        proj = jnp.concatenate([proj_v, proj_s[:, None, :]], axis=1)
+        below = (a <= -u0)[:, None, :]
+        inside = (a <= u0)[:, None, :]
+        out = jnp.where(below, jnp.zeros_like(seg),
+                        jnp.where(inside, seg, proj))
+        w3 = w3.at[:, start:start + cdim, :].set(out)
+    return w3.reshape(n_stages * dim, B)
+
+
 def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
                           settings: Settings, x0s):
     """Batched fresh solve via the condensed maps.  x0s: (B, nx).
@@ -205,6 +252,16 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
         vnew = x_hat + g
         if settings.en_state_bound:
             vnew = jnp.clip(vnew, xmin, xmax)
+        if settings.en_input_linear:
+            znew = _halfspaces_stacked(znew, problem.Alin_u, problem.blin_u,
+                                       N - 1, nu)
+        if settings.en_state_linear:
+            vnew = _halfspaces_stacked(vnew, problem.Alin_x, problem.blin_x,
+                                       N, nx)
+        if settings.en_input_soc:
+            znew = _cones_stacked(znew, problem.cones_u, N - 1, nu)
+        if settings.en_state_soc:
+            vnew = _cones_stacked(vnew, problem.cones_x, N, nx)
 
         y = y + u_hat - znew
         g = g + x_hat - vnew
