@@ -39,8 +39,8 @@ class CondensedMaps(NamedTuple):
     """Precomputed dense iteration maps (see module docstring).
 
     Shapes (su = (N-1)*nu, sx = N*nx):
-      T1:  (su + sx, su + su + sx + nx + 1)   [d; y; g; x0; 1] -> [u; x]
-      T2:  (su, su + sx + su + sx + 1)        [znew; vnew; y'; g'; 1] -> d'
+      T1:  (su + sx, su + nx + 1)        [d; x0; 1] -> [u; x]
+      T2:  (su, su + sx + su + sx + 1)   [znew; vnew; y'; g'; 1] -> d'
     """
     T1: jax.Array
     T2: jax.Array
@@ -95,16 +95,16 @@ def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
         U_x0[r0:r1] = -K @ X_x0[i * nx:(i + 1) * nx]
         U_c[r0:r1] = -K @ X_c[i * nx:(i + 1) * nx]
 
-    # input vector layout: [d (su); y (su); g (sx); x0 (nx); 1]
-    in1 = su + su + sx + nx + 1
+    # input vector layout: [d (su); x0 (nx); 1] — the rollout depends only on
+    # d, x0 and the constant term.
+    in1 = su + nx + 1
     T1 = np.zeros((su + sx, in1))
     T1[:su, :su] = U_d
-    T1[:su, su + su + sx:su + su + sx + nx] = U_x0
+    T1[:su, su:su + nx] = U_x0
     T1[:su, -1:] = U_c
     T1[su:, :su] = X_d
-    T1[su:, su + su + sx:su + su + sx + nx] = X_x0
+    T1[su:, su:su + nx] = X_x0
     T1[su:, -1:] = X_c
-    # (y and g columns are zero in T1 — kept for a single unified input vec)
 
     # --- T2: backward.  r_i = rref_i - rho (znew_i - y'_i)
     #         q_i = qref_i - rho (vnew_i - g'_i)
@@ -235,7 +235,7 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
     def body(carry):
         d, y, g, v, z, out_x, out_u, out_it, out_solved, conv, i = carry
 
-        vec1 = jnp.concatenate([d, y, g, x0T, ones], axis=0)
+        vec1 = jnp.concatenate([d, x0T, ones], axis=0)
         ux = mm(T1, vec1)
         u = ux[:su]
         x = ux[su:]
