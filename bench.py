@@ -25,7 +25,10 @@ def main():
     import jax.numpy as jnp
     from tinympc_julia_tpu import Settings, make_problem, precompute_cache
     from tinympc_julia_tpu.models import cartpole
-    from tinympc_julia_tpu.ops.condensed import build_condensed, solve_condensed
+    from tinympc_julia_tpu.ops.condensed import build_condensed
+
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
 
     dtype = jnp.float32
     N = cartpole.HORIZON
@@ -40,21 +43,24 @@ def main():
                      cartpole.RHO, N, u_min=-5.0, u_max=5.0)
     c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(cartpole.RHO, dtype))
     maps = build_condensed(p, c)
-    s1 = Settings(max_iter=100, en_state_bound=False, en_input_bound=True,
-                  relaxation_alpha=ALPHA)
-    s2 = Settings(max_iter=400, en_state_bound=False, en_input_bound=True,
-                  relaxation_alpha=ALPHA)
+    kw = dict(en_input_bound=True, en_state_bound=False,
+              relaxation_alpha=ALPHA)
+    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=1024, max_iter=100,
+                                      **kw)
+    fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=1024, max_iter=400,
+                                      **kw)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
     def run():
-        """Two-phase solve: bulk pass, then compact the stragglers and finish
-        them.  Returns (converged_count, total_iterations)."""
-        _, _, it1, ok1 = solve_condensed(p, c, s1, x0s, maps)
+        """Two-phase fused solve: bulk pass, then compact the stragglers and
+        finish them (VMEM-resident condensed kernel, ops/pallas)."""
+        _, _, it1, ok1 = fn1(maps, c.rho, *bounds, x0s)
         unconv = ok1 == 0
         idx = jnp.nonzero(unconv, size=B2, fill_value=0)[0]
-        _, _, it2, ok2 = solve_condensed(p, c, s2, x0s[idx], maps)
+        _, _, it2, ok2 = fn2(maps, c.rho, *bounds, x0s[idx])
         jax.block_until_ready(ok2)
         return it1, ok1, idx, it2, ok2, unconv
 

@@ -11,6 +11,45 @@ from tinympc_julia_tpu.parallel import broadcast_state, set_x0_batch
 from tinympc_julia_tpu.parallel.batch import solve_batch
 
 
+def test_condensed_fused_matches_xla_condensed():
+    """VMEM-resident condensed kernel vs the XLA condensed path: identical
+    per-lane iteration counts and solutions."""
+    from tinympc_julia_tpu.ops.condensed import build_condensed, solve_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 256
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    maps = build_condensed(p, c)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+
+    fn = make_condensed_fused_solver(
+        4, 1, N, batch_tile=128, max_iter=80, en_input_bound=True,
+        en_state_bound=False, relaxation_alpha=1.7,
+        interpret=jax.default_backend() != "tpu")
+    xs, us, iters, solved = fn(maps, c.rho, p.u_min, p.u_max, p.x_min,
+                               p.x_max, x0s)
+
+    s = Settings(max_iter=80, en_state_bound=False, en_input_bound=True,
+                 relaxation_alpha=1.7)
+    xs2, us2, it2, ok2 = solve_condensed(p, c, s, x0s, maps)
+
+    both = (np.asarray(solved) == 1) & (np.asarray(ok2) == 1)
+    assert both.sum() > B // 2
+    np.testing.assert_array_equal(np.asarray(iters)[both],
+                                  np.asarray(it2)[both])
+    np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
+                               atol=1e-6)
+
+
 def test_fused_matches_xla():
     dtype = jnp.float32
     N = 20
