@@ -58,6 +58,7 @@ class TinyMPCSolver:
         self.horizon_parallel = False
         # Mirrors of the user-supplied data for sensitivity / codegen paths.
         self._user = {}
+        self._condensed_maps = None
 
     # -- setup --------------------------------------------------------------
 
@@ -116,6 +117,7 @@ class TinyMPCSolver:
         )
         self.state = T.init_state(nx, nu, N, dt)
         self.solution = None
+        self._condensed_maps = None
         self.is_setup = True
         if verbose:
             print(f"TinyMPC solver setup successful (nx={nx}, nu={nu}, N={N})")
@@ -144,6 +146,7 @@ class TinyMPCSolver:
         if x_ref.shape != (nx, N):
             raise ValueError(f"x_ref has shape {x_ref.shape}, expected ({nx}, {N})")
         self.problem = self.problem.replace(Xref=jnp.asarray(x_ref.T, self.dtype))
+        self._condensed_maps = None
         return 0
 
     def set_u_ref(self, u_ref, *, verbose=False):
@@ -153,6 +156,7 @@ class TinyMPCSolver:
         if u_ref.shape != (nu, N - 1):
             raise ValueError(f"u_ref has shape {u_ref.shape}, expected ({nu}, {N - 1})")
         self.problem = self.problem.replace(Uref=jnp.asarray(u_ref.T, self.dtype))
+        self._condensed_maps = None
         return 0
 
     # -- constraints --------------------------------------------------------
@@ -263,6 +267,7 @@ class TinyMPCSolver:
             Pinf=jnp.asarray(np.asarray(Pinf, float), dt),
             Quu_inv=jnp.asarray(np.asarray(Quu_inv, float), dt),
             AmBKt=jnp.asarray(np.asarray(AmBKt, float), dt))
+        self._condensed_maps = None
         return 0
 
     # -- solve ---------------------------------------------------------------
@@ -288,6 +293,46 @@ class TinyMPCSolver:
             raise RuntimeError("No solution available; call solve() first")
         return MPCSolution(states=np.asarray(self.solution.x).T,
                            controls=np.asarray(self.solution.u).T)
+
+    def solve_batch(self, x0s, *, method: str = "auto", verbose=False):
+        """Batched fresh solves over per-instance initial states.
+
+        x0s: (B, nx).  ``method``:
+          * "standard"  — the masked batched ADMM loop (any constraints,
+            warm-startable; parallel/batch.py)
+          * "condensed" — condensed-iteration fast path (ops/condensed.py)
+          * "auto"      — condensed when supported (always, since the
+            condensed path covers the full constraint stack)
+
+        Returns (states (B, N, nx), controls (B, N-1, nu), iters (B,),
+        solved (B,)) as numpy arrays.  Unlike `solve`, this does not persist
+        workspaces (fresh throughput solves).
+        """
+        self._require_setup()
+        import jax.numpy as jnp
+        x0s = jnp.asarray(np.asarray(x0s, float), self.dtype)
+        if method in ("auto", "condensed"):
+            from .ops.condensed import build_condensed, solve_condensed
+            if self._condensed_maps is None:
+                self._condensed_maps = build_condensed(self.problem, self.cache)
+            xs, us, iters, solved = solve_condensed(
+                self.problem, self.cache, self.settings, x0s,
+                self._condensed_maps)
+        elif method == "standard":
+            from . import types as TT
+            from .parallel import batch as batch_mod
+            B = x0s.shape[0]
+            st = batch_mod.set_x0_batch(
+                batch_mod.broadcast_state(
+                    TT.init_state(self.problem.nx, self.problem.nu,
+                                  self.problem.N, self.dtype), B), x0s)
+            _, _, sol = batch_mod.solve_batch(self.problem, self.cache,
+                                              self.settings, st)
+            xs, us, iters, solved = sol.x, sol.u, sol.iter, sol.solved
+        else:
+            raise ValueError(f"unknown method: {method}")
+        return (np.asarray(xs), np.asarray(us), np.asarray(iters),
+                np.asarray(solved))
 
     # -- sensitivity ---------------------------------------------------------
 
