@@ -201,13 +201,33 @@ def _cones_stacked(w, cones, n_stages, dim):
     return w3.reshape(n_stages * dim, B)
 
 
-def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
-                          settings: Settings, x0s):
-    """Batched fresh solve via the condensed maps.  x0s: (B, nx).
+class CondensedCarry(NamedTuple):
+    """Warm-start carry for the condensed solver (stacked (dim, B) layout):
+    the iterate subset that survives between solves — the reference's
+    persistent workspace (SURVEY.md §5.4)."""
+    d: jax.Array  # (su, B)
+    y: jax.Array  # (su, B)
+    g: jax.Array  # (sx, B)
+    v: jax.Array  # (sx, B)
+    z: jax.Array  # (su, B)
 
-    Returns (x (B, N, nx), u (B, N-1, nu), iters (B,), solved (B,)) —
+
+def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
+                          settings: Settings, x0s, warm: CondensedCarry = None,
+                          d_ref=None):
+    """Batched solve via the condensed maps.  x0s: (B, nx); ``warm``
+    optionally resumes from a previous solve's carry (warm starting).
+
+    Returns (x (B, N, nx), u (B, N-1, nu), iters (B,), solved (B,), carry) —
     solutions are the slack iterates, reference semantics.
+
+    Note: adaptive-rho is not supported on this path (the maps are built for
+    a fixed rho); use the standard path (parallel/batch.py) for adaptive-rho.
     """
+    if settings.adaptive_rho:
+        raise ValueError(
+            "adaptive_rho is not supported by the condensed path (maps are "
+            "rho-specific); use parallel.batch.solve_batch")
     nx, nu, N = problem.nx, problem.nu, problem.N
     su, sx = (N - 1) * nu, N * nx
     B = x0s.shape[0]
@@ -263,8 +283,10 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
         if settings.en_state_soc:
             vnew = _cones_stacked(vnew, problem.cones_x, N, nx)
 
-        y = y + u_hat - znew
-        g = g + x_hat - vnew
+        # lanes converged in a PREVIOUS iteration are frozen entirely
+        # (reference early-return semantics)
+        y = jnp.where(conv[None, :], y, y + u_hat - znew)
+        g = jnp.where(conv[None, :], g, g + x_hat - vnew)
 
         # termination residuals (admm.cpp:93-96)
         ps = jnp.max(jnp.abs(x - vnew), axis=0)
@@ -282,25 +304,35 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
         out_u = jnp.where(newly[None, :], znew, out_u)
         out_it = jnp.where(newly, i + 1, out_it)
         out_solved = jnp.where(newly, 1, out_solved)
-        conv = jnp.logical_or(conv, newly)
+        conv_all = jnp.logical_or(conv, newly)
 
-        v = vnew
-        z = znew
+        # v/z/d do not advance on (or after) a lane's converging iteration —
+        # the reference returns before the slack copy + backward pass
+        # (admm.cpp:181-199); required for exact warm-start parity.
+        v = jnp.where(conv_all[None, :], v, vnew)
+        z = jnp.where(conv_all[None, :], z, znew)
 
         vec2 = jnp.concatenate([znew, vnew, y, g, ones], axis=0)
-        d = mm(T2, vec2)
+        d_new = mm(T2, vec2)
+        if d_ref is not None:
+            d_new = d_new + d_ref[:, None]
+        d = jnp.where(conv_all[None, :], d, d_new)
 
-        return (d, y, g, v, z, out_x, out_u, out_it, out_solved, conv, i + 1)
+        return (d, y, g, v, z, out_x, out_u, out_it, out_solved, conv_all,
+                i + 1)
 
     def cond(carry):
         conv, i = carry[-2], carry[-1]
         return jnp.logical_and(i < settings.max_iter,
                                jnp.logical_not(jnp.all(conv)))
 
-    zeros_u = jnp.zeros((su, B), dtype)
-    zeros_x = jnp.zeros((sx, B), dtype)
-    carry0 = (zeros_u, zeros_u, zeros_x, zeros_x, zeros_u,
-              zeros_x, zeros_u,
+    if warm is None:
+        zeros_u = jnp.zeros((su, B), dtype)
+        zeros_x = jnp.zeros((sx, B), dtype)
+        warm = CondensedCarry(d=zeros_u, y=zeros_u, g=zeros_x,
+                              v=zeros_x, z=zeros_u)
+    carry0 = (warm.d, warm.y, warm.g, warm.v, warm.z,
+              jnp.zeros((sx, B), dtype), jnp.zeros((su, B), dtype),
               jnp.full((B,), settings.max_iter, jnp.int32),
               jnp.zeros((B,), jnp.int32),
               jnp.zeros((B,), bool), jnp.zeros((), jnp.int32))
@@ -313,17 +345,52 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
 
     xs = out_x.T.reshape(B, N, nx)
     us = out_u.T.reshape(B, N - 1, nu)
-    return xs, us, out_it, out_solved
+    return xs, us, out_it, out_solved, CondensedCarry(d=d, y=y, g=g, v=v, z=z)
+
+
+def ref_backward_const(problem: Problem, cache: Cache, Xref=None, Uref=None):
+    """The reference trajectories' contribution to the condensed backward map:
+    d_ref (su,) = backward pass of (qref, rref, pNref) alone.
+
+    Refs enter the condensed iteration ONLY through this constant (they
+    appear in q/r/p_N linearly, admm.cpp:75-83), so per-step moving
+    references (the rocket pattern) need just this small jax recomputation —
+    not a rebuild of the T1/T2 maps.  Build maps with zero refs and add this
+    vector to the T2 product.
+    """
+    Xref = problem.Xref if Xref is None else Xref
+    Uref = problem.Uref if Uref is None else Uref
+    rref = -(Uref * problem.R)                     # (N-1, nu)
+    qref = -(Xref * problem.Q)                     # (N, nx)
+    pN = -(cache.Pinf.T @ Xref[-1])                # (nx,)
+
+    B = problem.B
+    Quu, Am, KT = cache.Quu_inv, cache.AmBKt, cache.Kinf.T
+
+    def step(p_next, inp):
+        q_i, r_i = inp
+        d_i = Quu @ (B.T @ p_next + r_i)
+        p_i = q_i + Am @ p_next - KT @ r_i
+        return p_i, d_i
+
+    _, d = lax.scan(step, pN, (qref[:-1], rref), reverse=True)
+    return d.reshape(-1)                           # (su,)
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
-def _solve_condensed(problem, cache, maps, x0s, *, settings):
-    return _solve_condensed_impl(problem, cache, maps, settings, x0s)
+def _solve_condensed(problem, cache, maps, x0s, warm, *, settings):
+    return _solve_condensed_impl(problem, cache, maps, settings, x0s, warm)
 
 
 def solve_condensed(problem: Problem, cache: Cache, settings: Settings, x0s,
-                    maps: CondensedMaps | None = None):
-    """Convenience wrapper: build maps if needed and run the condensed solve."""
+                    maps: CondensedMaps | None = None, *,
+                    warm: CondensedCarry | None = None,
+                    return_carry: bool = False):
+    """Convenience wrapper: build maps if needed and run the condensed solve.
+
+    Returns (xs, us, iters, solved), plus the warm-start carry when
+    ``return_carry=True`` (pass it back as ``warm=`` for the next solve)."""
     if maps is None:
         maps = build_condensed(problem, cache)
-    return _solve_condensed(problem, cache, maps, x0s, settings=settings)
+    out = _solve_condensed(problem, cache, maps, x0s, warm, settings=settings)
+    return out if return_carry else out[:4]
