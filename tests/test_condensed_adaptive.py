@@ -1,0 +1,192 @@
+"""Adaptive-rho on the condensed fast path (Taylor-expanded maps).
+
+The reference's adaptive-rho is itself a first-order Taylor update of the
+cache (rho_benchmark.cpp:199-212); the condensed path expresses that update as
+Taylor-expanded iteration maps combined per lane.  These tests pin:
+  * the exact bilinear structure of T2 in (rho_rq, rho_K),
+  * the O(drho^(order+1)) truncation behavior of T1,
+  * the stacked OSQP residuals against ops/rho.osqp_residuals,
+  * end-to-end agreement with the standard adaptive path
+    (parallel/batch.solve_batch) — identical per-lane iteration counts and
+    rho trajectories on the cartpole/quadrotor workloads.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tinympc_julia_tpu import (Settings, init_state, make_problem,
+                               precompute_cache)
+from tinympc_julia_tpu.models import cartpole, quadrotor
+from tinympc_julia_tpu.ops import rho as rho_mod
+from tinympc_julia_tpu.ops.condensed import (
+    _osqp_residuals_stacked, _t1_numpy, _t2_numpy, build_condensed,
+    build_condensed_taylor, solve_condensed_adaptive)
+from tinympc_julia_tpu.parallel import broadcast_state, set_x0_batch
+from tinympc_julia_tpu.parallel.batch import solve_batch
+
+
+def _mk(model, rho, ub, N=20):
+    p = make_problem(jnp.asarray(model.A), jnp.asarray(model.B),
+                     jnp.asarray(np.diag(model.Q_DIAG)),
+                     jnp.asarray(np.diag(model.R_DIAG)), rho, N,
+                     u_min=-ub, u_max=ub)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(rho, p.A.dtype))
+    return p, c
+
+
+class TestTaylorMaps:
+    def test_t2_bilinear_exact(self):
+        """T2 is exactly bilinear in (rho_rq, rho_K): the 4-term expansion
+        reproduces a direct rebuild at arbitrary offsets to f64 eps."""
+        p, c = _mk(cartpole, 1.0, 5.0)
+        maps = build_condensed_taylor(p, c, order=2)
+        T2s = np.asarray(maps.T2s)
+        args = (np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+                np.asarray(p.Xref), np.asarray(p.Uref))
+        K0, dK = np.asarray(c.Kinf), np.asarray(c.dKinf_drho)
+        P0, dP = np.asarray(c.Pinf), np.asarray(c.dPinf_drho)
+        Quu, Am = np.asarray(c.Quu_inv), np.asarray(c.AmBKt)
+        for drq, drk in [(0.7, -0.3), (3.1, 3.1), (-0.9, 2.0), (9.0, 0.1)]:
+            direct = _t2_numpy(*args, K0 + drk * dK, Quu, Am, P0 + drq * dP,
+                               1.0 + drq, 20)
+            comb = T2s[0] + drq * T2s[1] + drk * T2s[2] + drq * drk * T2s[3]
+            np.testing.assert_allclose(comb, direct, atol=1e-12)
+
+    def test_t1_taylor_truncation(self):
+        """Coefficient 0 equals the fixed map; order-2 truncation error
+        vanishes as O(drho^3)."""
+        p, c = _mk(cartpole, 1.0, 5.0)
+        maps = build_condensed_taylor(p, c, order=2)
+        T1s = np.asarray(maps.T1s)
+        fixed = build_condensed(p, c)
+        np.testing.assert_array_equal(T1s[0], np.asarray(fixed.T1))
+
+        A, B, f = np.asarray(p.A), np.asarray(p.B), np.asarray(p.f)
+        K0, dK = np.asarray(c.Kinf), np.asarray(c.dKinf_drho)
+        errs = []
+        for dr in (1e-3, 1e-2, 1e-1):
+            direct = _t1_numpy(A, B, f, K0 + dr * dK, 20)
+            comb = T1s[0] + dr * T1s[1] + dr * dr * T1s[2]
+            errs.append(np.abs(direct - comb).max())
+        assert errs[0] < 1e-11
+        # each decade in drho is ~3 decades in error (cubic remainder)
+        assert errs[1] < 3e3 * errs[0]
+        assert errs[2] < 3e3 * errs[1]
+
+    def test_osqp_residuals_stacked_match(self):
+        """Stacked per-lane residuals == ops/rho.osqp_residuals per lane."""
+        p, c = _mk(cartpole, 1.0, 5.0)
+        N, nx, nu = 20, 4, 1
+        rng = np.random.default_rng(3)
+        B = 5
+        fields = {}
+        for name, shape in (("x", (N, nx)), ("u", (N - 1, nu)),
+                            ("znew", (N - 1, nu)), ("vnew", (N, nx)),
+                            ("y", (N - 1, nu)), ("g", (N, nx))):
+            fields[name] = jnp.asarray(rng.normal(size=(B,) + shape))
+
+        # stacked layout: (stage*dim, B)
+        stk = {k: jnp.moveaxis(v, 0, -1).reshape(-1, B)
+               for k, v in fields.items()}
+        got = _osqp_residuals_stacked(
+            stk["x"], stk["u"], stk["znew"], stk["vnew"], stk["y"], stk["g"],
+            p, c, jnp.zeros((B,)), N)
+
+        st = broadcast_state(init_state(nx, nu, N, p.A.dtype), B)
+        st = st.replace(**fields)
+        want = jax.vmap(rho_mod.osqp_residuals,
+                        in_axes=(0, None, None))(st, c, p)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12)
+
+
+class TestAdaptiveSolve:
+    def test_matches_standard_adaptive_cartpole(self):
+        """Per-lane iteration counts and final rho identical to the standard
+        adaptive path; solutions agree to the T1 truncation level."""
+        p, c = _mk(cartpole, 1.0, 5.0)
+        s = Settings(max_iter=200, en_state_bound=False, en_input_bound=True,
+                     adaptive_rho=True, adaptive_rho_min=0.5,
+                     adaptive_rho_max=5.0, adaptive_rho_enable_clipping=True)
+        rng = np.random.default_rng(0)
+        B = 16
+        x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)))
+        xs, us, iters, solved, carry = solve_condensed_adaptive(
+            p, c, s, x0s, return_carry=True)
+
+        st0 = set_x0_batch(
+            broadcast_state(init_state(4, 1, 20, p.A.dtype), B), x0s)
+        _, ca_f, sol = solve_batch(p, c, s, st0)
+
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_array_equal(np.asarray(solved),
+                                      np.asarray(sol.solved))
+        np.testing.assert_allclose(np.asarray(carry.rho),
+                                   np.asarray(ca_f.rho), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(sol.x),
+                                   atol=1e-3)
+        # converged lanes agree much tighter (unconverged return drifting
+        # final iterates)
+        conv = np.asarray(solved) == 1
+        assert conv.sum() >= B - 2
+        np.testing.assert_allclose(np.asarray(us)[conv],
+                                   np.asarray(sol.u)[conv], atol=1e-4)
+
+    def test_matches_standard_adaptive_quadrotor(self):
+        p, c = _mk(quadrotor, 5.0, 0.5)
+        s = Settings(max_iter=150, en_state_bound=False, en_input_bound=True,
+                     adaptive_rho=True, adaptive_rho_min=1.0,
+                     adaptive_rho_max=50.0, adaptive_rho_enable_clipping=True)
+        rng = np.random.default_rng(1)
+        B = 8
+        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 12)))
+        xs, us, iters, solved, carry = solve_condensed_adaptive(
+            p, c, s, x0s, return_carry=True)
+
+        st0 = set_x0_batch(
+            broadcast_state(init_state(12, 4, 20, p.A.dtype), B), x0s)
+        _, ca_f, sol = solve_batch(p, c, s, st0)
+
+        np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
+        np.testing.assert_allclose(np.asarray(carry.rho),
+                                   np.asarray(ca_f.rho), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
+                                   atol=2e-3)
+
+    def test_fixed_rho_reduces_to_plain_condensed(self):
+        """With rho never moving (adaptation disabled by a degenerate clip
+        range), the adaptive solver reproduces the fixed-rho solver exactly
+        (drho == 0 kills every Taylor correction)."""
+        from tinympc_julia_tpu.ops.condensed import solve_condensed
+        p, c = _mk(cartpole, 1.0, 5.0)
+        s_fix = Settings(max_iter=100, en_state_bound=False,
+                         en_input_bound=True)
+        s_ad = Settings(max_iter=100, en_state_bound=False,
+                        en_input_bound=True, adaptive_rho=True,
+                        adaptive_rho_min=1.0, adaptive_rho_max=1.0,
+                        adaptive_rho_enable_clipping=True)
+        rng = np.random.default_rng(2)
+        x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(8, 4)))
+        xs_f, us_f, it_f, ok_f = solve_condensed(p, c, s_fix, x0s)
+        xs_a, us_a, it_a, ok_a = solve_condensed_adaptive(p, c, s_ad, x0s)
+        np.testing.assert_array_equal(np.asarray(it_f), np.asarray(it_a))
+        np.testing.assert_allclose(np.asarray(us_f), np.asarray(us_a),
+                                   atol=1e-12)
+
+    def test_warm_start_carries_rho(self):
+        p, c = _mk(cartpole, 1.0, 5.0)
+        s = Settings(max_iter=200, en_state_bound=False, en_input_bound=True,
+                     adaptive_rho=True, adaptive_rho_min=0.5,
+                     adaptive_rho_max=5.0, adaptive_rho_enable_clipping=True)
+        x0s = jnp.asarray([[0.5, 0.0, 0.1, 0.0]])
+        _, _, it_cold, ok, carry = solve_condensed_adaptive(
+            p, c, s, x0s, return_carry=True)
+        _, _, it_warm, ok2, carry2 = solve_condensed_adaptive(
+            p, c, s, x0s + 0.01, warm=carry, return_carry=True)
+        assert int(ok[0]) == 1 and int(ok2[0]) == 1
+        assert int(it_warm[0]) < int(it_cold[0])
+        # the warm solve started from the adapted rho, not rho0
+        assert carry2.rho.shape == (1,)

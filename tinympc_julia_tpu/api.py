@@ -59,6 +59,7 @@ class TinyMPCSolver:
         # Mirrors of the user-supplied data for sensitivity / codegen paths.
         self._user = {}
         self._condensed_maps = None
+        self._condensed_taylor_maps = None
 
     # -- setup --------------------------------------------------------------
 
@@ -118,6 +119,7 @@ class TinyMPCSolver:
         self.state = T.init_state(nx, nu, N, dt)
         self.solution = None
         self._condensed_maps = None
+        self._condensed_taylor_maps = None
         self.is_setup = True
         if verbose:
             print(f"TinyMPC solver setup successful (nx={nx}, nu={nu}, N={N})")
@@ -147,6 +149,7 @@ class TinyMPCSolver:
             raise ValueError(f"x_ref has shape {x_ref.shape}, expected ({nx}, {N})")
         self.problem = self.problem.replace(Xref=jnp.asarray(x_ref.T, self.dtype))
         self._condensed_maps = None
+        self._condensed_taylor_maps = None
         return 0
 
     def set_u_ref(self, u_ref, *, verbose=False):
@@ -157,6 +160,7 @@ class TinyMPCSolver:
             raise ValueError(f"u_ref has shape {u_ref.shape}, expected ({nu}, {N - 1})")
         self.problem = self.problem.replace(Uref=jnp.asarray(u_ref.T, self.dtype))
         self._condensed_maps = None
+        self._condensed_taylor_maps = None
         return 0
 
     # -- constraints --------------------------------------------------------
@@ -268,6 +272,7 @@ class TinyMPCSolver:
             Quu_inv=jnp.asarray(np.asarray(Quu_inv, float), dt),
             AmBKt=jnp.asarray(np.asarray(AmBKt, float), dt))
         self._condensed_maps = None
+        self._condensed_taylor_maps = None
         return 0
 
     # -- solve ---------------------------------------------------------------
@@ -301,8 +306,9 @@ class TinyMPCSolver:
           * "standard"  — the masked batched ADMM loop (any constraints,
             warm-startable; parallel/batch.py)
           * "condensed" — condensed-iteration fast path (ops/condensed.py)
-          * "auto"      — condensed when supported (always, since the
-            condensed path covers the full constraint stack)
+          * "auto"      — condensed when supported (always: the condensed
+            path covers the full constraint stack, and adaptive-rho rides
+            the Taylor-expanded maps, ops/condensed.py)
 
         Returns (states (B, N, nx), controls (B, N-1, nu), iters (B,),
         solved (B,)) as numpy arrays.  Unlike `solve`, this does not persist
@@ -312,12 +318,24 @@ class TinyMPCSolver:
         import jax.numpy as jnp
         x0s = jnp.asarray(np.asarray(x0s, float), self.dtype)
         if method in ("auto", "condensed"):
-            from .ops.condensed import build_condensed, solve_condensed
-            if self._condensed_maps is None:
-                self._condensed_maps = build_condensed(self.problem, self.cache)
-            xs, us, iters, solved = solve_condensed(
-                self.problem, self.cache, self.settings, x0s,
-                self._condensed_maps)
+            if self.settings.adaptive_rho:
+                # adaptive-rho rides the Taylor-expanded condensed maps
+                from .ops.condensed import (build_condensed_taylor,
+                                            solve_condensed_adaptive)
+                if self._condensed_taylor_maps is None:
+                    self._condensed_taylor_maps = build_condensed_taylor(
+                        self.problem, self.cache)
+                xs, us, iters, solved = solve_condensed_adaptive(
+                    self.problem, self.cache, self.settings, x0s,
+                    self._condensed_taylor_maps)
+            else:
+                from .ops.condensed import build_condensed, solve_condensed
+                if self._condensed_maps is None:
+                    self._condensed_maps = build_condensed(self.problem,
+                                                           self.cache)
+                xs, us, iters, solved = solve_condensed(
+                    self.problem, self.cache, self.settings, x0s,
+                    self._condensed_maps)
         elif method == "standard":
             from . import types as TT
             from .parallel import batch as batch_mod

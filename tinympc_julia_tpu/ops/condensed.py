@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..types import Cache, Problem, Settings
+from . import rho as rho_mod
 
 
 class CondensedMaps(NamedTuple):
@@ -46,29 +47,17 @@ class CondensedMaps(NamedTuple):
     T2: jax.Array
 
 
-def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
-    """Build T1/T2 in float64 on host, cast to the problem dtype."""
-    nx, nu, N = problem.nx, problem.nu, problem.N
-    su = (N - 1) * nu
-    sx = N * nx
+def _t1_numpy(A, B, f, K, N):
+    """T1 (float64 numpy) as a function of the LQR gain K.
 
-    A = np.asarray(problem.A, np.float64)
-    B = np.asarray(problem.B, np.float64)
-    f = np.asarray(problem.f, np.float64)
-    K = np.asarray(cache.Kinf, np.float64)
-    Quu = np.asarray(cache.Quu_inv, np.float64)
-    Am = np.asarray(cache.AmBKt, np.float64)
-    Pinf = np.asarray(cache.Pinf, np.float64)
-    rho = float(cache.rho)
-    Qd = np.asarray(problem.Q, np.float64)
-    Rd = np.asarray(problem.R, np.float64)
-    Xref = np.asarray(problem.Xref, np.float64)
-    Uref = np.asarray(problem.Uref, np.float64)
+    Rollout:  x_0 = x0;  x_{i+1} = M x_i + f - B d_i;  u_i = -K x_i - d_i
+    with M = A - B K (forward_pass, admm.cpp:25-35).
+    """
+    nx, nu = B.shape
+    su, sx = (N - 1) * nu, N * nx
 
     M = A - B @ K  # closed-loop matrix
 
-    # --- T1: rollout.  x_0 = x0;  x_{i+1} = M x_i + f - B d_i;
-    #         u_i = -K x_i - d_i.
     # x_i = M^i x0 + sum_{j<i} M^(i-1-j) (f - B d_j)
     powers = [np.eye(nx)]
     for _ in range(N):
@@ -105,12 +94,26 @@ def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
     T1[su:, :su] = X_d
     T1[su:, su:su + nx] = X_x0
     T1[su:, -1:] = X_c
+    return T1
 
-    # --- T2: backward.  r_i = rref_i - rho (znew_i - y'_i)
-    #         q_i = qref_i - rho (vnew_i - g'_i)
-    #         p_{N-1} = pNref - rho (vnew_{N-1} - g'_{N-1})
-    #         p_i = Am p_{i+1} + (q_i - K^T r_i)
-    #         d'_i = Quu (B^T p_{i+1} + r_i)
+
+def _t2_numpy(B, Qd, Rd, Xref, Uref, K, Quu, Am, Pinf, rho, N):
+    """T2 (float64 numpy), parameterized by the quantities that move under
+    adaptive-rho: the explicit rho folding + Pinf (update_linear_cost,
+    admm.cpp:75-83) and the gain K (backward_pass_grad, admm.cpp:13-20).
+    Quu/Am stay setup-time constants — the reference Taylor-updates C1/C2 but
+    keeps using the stale Quu_inv/AmBKt (the dead-write quirk,
+    rho_benchmark.cpp:199-212).
+
+      r_i = rref_i - rho (znew_i - y'_i)
+      q_i = qref_i - rho (vnew_i - g'_i)
+      p_{N-1} = pNref - rho (vnew_{N-1} - g'_{N-1})
+      p_i = Am p_{i+1} + (q_i - K^T r_i)
+      d'_i = Quu (B^T p_{i+1} + r_i)
+    """
+    nx, nu = B.shape
+    su, sx = (N - 1) * nu, N * nx
+
     rref = (-(Uref * Rd)).reshape(su, 1)
     qref = (-(Xref * Qd)).reshape(sx, 1)
     pNref = (-(Pinf.T @ Xref[-1])).reshape(nx, 1)
@@ -149,9 +152,204 @@ def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
         d_i = Quu @ (B.T @ p_next + ri)
         T2[i * nu:(i + 1) * nu] = d_i
         p_next = q_row(i) + Am @ p_next - K.T @ ri
+    return T2
+
+
+def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
+    """Build T1/T2 in float64 on host, cast to the problem dtype."""
+    N = problem.N
+    A = np.asarray(problem.A, np.float64)
+    B = np.asarray(problem.B, np.float64)
+    f = np.asarray(problem.f, np.float64)
+    K = np.asarray(cache.Kinf, np.float64)
+    Quu = np.asarray(cache.Quu_inv, np.float64)
+    Am = np.asarray(cache.AmBKt, np.float64)
+    Pinf = np.asarray(cache.Pinf, np.float64)
+    rho = float(cache.rho)
+    Qd = np.asarray(problem.Q, np.float64)
+    Rd = np.asarray(problem.R, np.float64)
+    Xref = np.asarray(problem.Xref, np.float64)
+    Uref = np.asarray(problem.Uref, np.float64)
+
+    T1 = _t1_numpy(A, B, f, K, N)
+    T2 = _t2_numpy(B, Qd, Rd, Xref, Uref, K, Quu, Am, Pinf, rho, N)
 
     dtype = problem.A.dtype
     return CondensedMaps(T1=jnp.asarray(T1, dtype), T2=jnp.asarray(T2, dtype))
+
+
+def _t1_taylor_numpy(A, B, f, K0, dK, N, order):
+    """Taylor coefficients (in drho = rho - rho0) of T1 under the reference's
+    linearized cache K(rho) = K0 + drho * dK (rho_benchmark.cpp:199-212).
+
+    T1's entries are polynomials of degree <= N in drho (powers of the
+    closed-loop matrix M(rho) = A - B K(rho)); the coefficients up to `order`
+    are computed EXACTLY by carrying truncated coefficient lists through the
+    power recursion (no finite differencing).  Returns (order+1, su+sx, in1).
+    """
+    nx, nu = B.shape
+    su, sx = (N - 1) * nu, N * nx
+    in1 = su + nx + 1
+    o = order
+
+    def pmul(Pa, Pb):
+        """Truncated product of matrix-coefficient lists."""
+        out = []
+        for k in range(o + 1):
+            acc = Pa[0] @ Pb[k]
+            for i in range(1, k + 1):
+                acc = acc + Pa[i] @ Pb[k - i]
+            out.append(acc)
+        return out
+
+    zM = np.zeros((nx, nx))
+    Mc = [A - B @ K0, -B @ dK] + [zM] * (o - 1)
+    Kc = [K0, dK] + [np.zeros_like(K0)] * (o - 1)
+    fcol = f.reshape(nx, 1)
+
+    # pw[i] = coeff list of M(rho)^i ; cs[i] = coeff list of
+    # sum_{j<i} M^(i-1-j) f  (the affine-term accumulation)
+    pw = [[np.eye(nx)] + [zM] * o]
+    cs = [[np.zeros((nx, 1)) for _ in range(o + 1)]]
+    for _ in range(N - 1):
+        pw.append(pmul(Mc, pw[-1]))
+        nc = pmul(Mc, cs[-1])
+        nc[0] = nc[0] + fcol
+        cs.append(nc)
+
+    # per-stage x-row blocks as coefficient lists of (nx, in1)
+    Xrows = []
+    for i in range(N):
+        row = []
+        for k in range(o + 1):
+            Rk = np.zeros((nx, in1))
+            for j in range(i):
+                Rk[:, j * nu:(j + 1) * nu] = -pw[i - 1 - j][k] @ B
+            Rk[:, su:su + nx] = pw[i][k]
+            Rk[:, -1:] = cs[i][k]
+            row.append(Rk)
+        Xrows.append(row)
+
+    T1s = []
+    for k in range(o + 1):
+        T1k = np.zeros((su + sx, in1))
+        for i in range(N - 1):
+            Uk = -Kc[0] @ Xrows[i][k]
+            for a in range(1, k + 1):
+                Uk = Uk - Kc[a] @ Xrows[i][k - a]
+            if k == 0:
+                Uk[:, i * nu:(i + 1) * nu] -= np.eye(nu)
+            T1k[i * nu:(i + 1) * nu] = Uk
+        for i in range(N):
+            T1k[su + i * nx:su + (i + 1) * nx] = Xrows[i][k]
+        T1s.append(T1k)
+    return np.stack(T1s)
+
+
+class CondensedTaylorMaps(NamedTuple):
+    """Taylor-expanded condensed maps for per-lane adaptive-rho.
+
+    T1s: (order+1, su+sx, in1) — Taylor coefficients of T1 in drho.
+    T2s: (4, su, in2) — T2 is EXACTLY bilinear in (rho_rq, rho_K): the
+         cost-fold rho + Pinf enter r/q/p_N affinely (update_linear_cost runs
+         BEFORE a same-iteration rho update, so it sees the pre-update rho)
+         while K enters the backward recursion linearly with the POST-update
+         rho; Quu/AmBKt stay constant (the reference's dead-write quirk).
+         Stored as [T2_00, dT2/drho_rq, dT2/drho_K, cross], identified exactly
+         from 4 corner evaluations.
+    rho0: expansion center (the setup rho).
+    """
+    T1s: jax.Array
+    T2s: jax.Array
+    rho0: jax.Array
+
+
+def build_condensed_taylor(problem: Problem, cache: Cache,
+                           order: int = 2) -> CondensedTaylorMaps:
+    """Build the Taylor-expanded condensed maps (float64 on host)."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    N = problem.N
+    A = np.asarray(problem.A, np.float64)
+    B = np.asarray(problem.B, np.float64)
+    f = np.asarray(problem.f, np.float64)
+    K0 = np.asarray(cache.Kinf, np.float64)
+    dK = np.asarray(cache.dKinf_drho, np.float64)
+    P0 = np.asarray(cache.Pinf, np.float64)
+    dP = np.asarray(cache.dPinf_drho, np.float64)
+    Quu = np.asarray(cache.Quu_inv, np.float64)
+    Am = np.asarray(cache.AmBKt, np.float64)
+    rho0 = float(cache.rho)
+    Qd = np.asarray(problem.Q, np.float64)
+    Rd = np.asarray(problem.R, np.float64)
+    Xref = np.asarray(problem.Xref, np.float64)
+    Uref = np.asarray(problem.Uref, np.float64)
+
+    T1s = _t1_taylor_numpy(A, B, f, K0, dK, N, order)
+
+    def t2(drq, drk):
+        return _t2_numpy(B, Qd, Rd, Xref, Uref, K0 + drk * dK, Quu, Am,
+                         P0 + drq * dP, rho0 + drq, N)
+
+    T00 = t2(0.0, 0.0)
+    Ta = t2(1.0, 0.0) - T00
+    Tb = t2(0.0, 1.0) - T00
+    Tab = t2(1.0, 1.0) - T00 - Ta - Tb
+    T2s = np.stack([T00, Ta, Tb, Tab])
+
+    dtype = problem.A.dtype
+    return CondensedTaylorMaps(T1s=jnp.asarray(T1s, dtype),
+                               T2s=jnp.asarray(T2s, dtype),
+                               rho0=jnp.asarray(rho0, dtype))
+
+
+def _osqp_residuals_stacked(x, u, z, v, y, g, problem: Problem, cache: Cache,
+                            drho, N):
+    """Per-lane OSQP-form residuals on the stacked (dim, B) layout — the same
+    values as ops/rho.osqp_residuals (compute_residuals,
+    rho_benchmark.cpp:146-173) for each lane, with the per-lane Taylor
+    terminal cost Pinf + drho * dPinf.  Returns four (B,) vectors."""
+    nx, nu = problem.nx, problem.nu
+    Bsz = x.shape[1]
+    x3 = x.reshape(N, nx, Bsz)
+    u3 = u.reshape(N - 1, nu, Bsz)
+    z3 = z.reshape(N - 1, nu, Bsz)
+    v3 = v.reshape(N, nx, Bsz)
+    y3 = y.reshape(N - 1, nu, Bsz)
+    g3 = g.reshape(N, nx, Bsz)
+    A, Bm = problem.A, problem.B
+    Qd, Rd = problem.Q, problem.R
+
+    def amax(t):
+        return jnp.max(jnp.abs(t), axis=(0, 1))
+
+    dyn = (jnp.einsum("ij,njb->nib", A, x3[:-1])
+           + jnp.einsum("ij,njb->nib", Bm, u3) - x3[1:])
+    ax_inf = jnp.maximum(amax(u3), amax(dyn))
+    z_inf = jnp.maximum(amax(z3), amax(v3[1:]))
+    pri_res = jnp.maximum(amax(u3 - z3), amax(dyn - v3[1:]))
+    pri_norm = jnp.maximum(ax_inf, z_inf)
+
+    xN = x3[-1]
+    PxN = cache.Pinf @ xN + drho[None, :] * (cache.dPinf_drho @ xN)
+    Px_states = jnp.concatenate([x3[:-1] * Qd[None, :, None], PxN[None]], 0)
+    Px_inputs = u3 * Rd[None, :, None]
+    q_states = x3 * Qd[None, :, None]
+    q_inputs = u3 * Rd[None, :, None]
+
+    aty_states = jnp.zeros_like(x3)
+    aty_states = aty_states.at[:-1].add(jnp.einsum("ji,njb->nib", A, g3[1:]))
+    aty_states = aty_states.at[1:].add(-g3[1:])
+    aty_inputs = jnp.einsum("ji,njb->nib", Bm, g3[1:]) + y3
+
+    r_ds = Px_states + q_states + aty_states
+    r_di = Px_inputs + q_inputs + aty_inputs
+    dual_res = jnp.maximum(amax(r_ds), amax(r_di))
+    px_inf = jnp.maximum(amax(Px_states), amax(Px_inputs))
+    aty_inf = jnp.maximum(amax(aty_states), amax(aty_inputs))
+    q_inf = jnp.maximum(amax(q_states), amax(q_inputs))
+    dual_norm = jnp.maximum(jnp.maximum(px_inf, aty_inf), q_inf)
+    return pri_res, dual_res, pri_norm, dual_norm
 
 
 def _halfspaces_stacked(w, Alin, blin, n_stages, dim):
@@ -226,8 +424,8 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
     """
     if settings.adaptive_rho:
         raise ValueError(
-            "adaptive_rho is not supported by the condensed path (maps are "
-            "rho-specific); use parallel.batch.solve_batch")
+            "adaptive_rho on the condensed path requires the Taylor-expanded "
+            "maps; use solve_condensed_adaptive")
     nx, nu, N = problem.nx, problem.nu, problem.N
     su, sx = (N - 1) * nu, N * nx
     B = x0s.shape[0]
@@ -393,4 +591,192 @@ def solve_condensed(problem: Problem, cache: Cache, settings: Settings, x0s,
     if maps is None:
         maps = build_condensed(problem, cache)
     out = _solve_condensed(problem, cache, maps, x0s, warm, settings=settings)
+    return out if return_carry else out[:4]
+
+
+class AdaptiveCondensedCarry(NamedTuple):
+    """Warm-start carry for the adaptive-rho condensed solver: the fixed-rho
+    carry plus the per-lane rho each lane ended on."""
+    d: jax.Array    # (su, B)
+    y: jax.Array    # (su, B)
+    g: jax.Array    # (sx, B)
+    v: jax.Array    # (sx, B)
+    z: jax.Array    # (su, B)
+    rho: jax.Array  # (B,)
+
+
+def _solve_condensed_adaptive_impl(problem: Problem, cache: Cache,
+                                   maps: CondensedTaylorMaps,
+                                   settings: Settings, x0s,
+                                   warm: AdaptiveCondensedCarry = None):
+    """Batched condensed solve with PER-LANE adaptive rho.
+
+    The reference's Taylor cache updates (rho_benchmark.cpp:199-212) become
+    Taylor-expanded iteration maps applied as shared stacked matmuls combined
+    with per-lane drho powers: ux = sum_k drho^k (T1_k @ vec1) and the exact
+    bilinear d' = (T2_00 + drq T2_rq + drK T2_K + drq drK T2_x) @ vec2.  The
+    rho prediction itself (OSQP residuals -> predict_rho, every 5th iteration
+    gated i > 0, admm.cpp:156) is exact per lane.  T2 is exact; T1 is
+    truncated at `order` (error O(drho^(order+1)) relative to the standard
+    path's Taylor-updated cache — the only approximation on this path).
+    """
+    nx, nu, N = problem.nx, problem.nu, problem.N
+    su, sx = (N - 1) * nu, N * nx
+    B = x0s.shape[0]
+    dtype = x0s.dtype
+    order = maps.T1s.shape[0] - 1
+    T1stk = maps.T1s.reshape((order + 1) * (su + sx), -1)
+    T2stk = maps.T2s.reshape(4 * su, -1)
+    rho0 = maps.rho0.astype(dtype)
+
+    umin = problem.u_min.reshape(su, 1)
+    umax = problem.u_max.reshape(su, 1)
+    xmin = problem.x_min.reshape(sx, 1)
+    xmax = problem.x_max.reshape(sx, 1)
+    pri_tol = jnp.asarray(settings.abs_pri_tol, dtype)
+    dua_tol = jnp.asarray(settings.abs_dua_tol, dtype)
+
+    x0T = x0s.T
+    ones = jnp.ones((1, B), dtype)
+
+    def mm(Tm, vec):
+        return jax.lax.dot_general(
+            Tm, vec, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def body(carry):
+        (d, y, g, v, z, rho_b, out_x, out_u, out_it, out_solved, conv,
+         i) = carry
+        drho = rho_b - rho0                                   # (B,)
+
+        vec1 = jnp.concatenate([d, x0T, ones], axis=0)
+        R1 = mm(T1stk, vec1).reshape(order + 1, su + sx, B)
+        ux = R1[order]
+        for k in range(order - 1, -1, -1):                    # Horner in drho
+            ux = ux * drho[None, :] + R1[k]
+        u = ux[:su]
+        x = ux[su:]
+
+        alpha = settings.relaxation_alpha
+        if alpha != 1.0:
+            u_hat = alpha * u + (1.0 - alpha) * z
+            x_hat = alpha * x + (1.0 - alpha) * v
+        else:
+            u_hat, x_hat = u, x
+        znew = u_hat + y
+        if settings.en_input_bound:
+            znew = jnp.clip(znew, umin, umax)
+        vnew = x_hat + g
+        if settings.en_state_bound:
+            vnew = jnp.clip(vnew, xmin, xmax)
+        if settings.en_input_linear:
+            znew = _halfspaces_stacked(znew, problem.Alin_u, problem.blin_u,
+                                       N - 1, nu)
+        if settings.en_state_linear:
+            vnew = _halfspaces_stacked(vnew, problem.Alin_x, problem.blin_x,
+                                       N, nx)
+        if settings.en_input_soc:
+            znew = _cones_stacked(znew, problem.cones_u, N - 1, nu)
+        if settings.en_state_soc:
+            vnew = _cones_stacked(vnew, problem.cones_x, N, nx)
+
+        y = jnp.where(conv[None, :], y, y + u_hat - znew)
+        g = jnp.where(conv[None, :], g, g + x_hat - vnew)
+
+        # rho adaptation every 5th iteration (gate i > 0 and i % 5 == 0,
+        # admm.cpp:156); converged lanes keep their rho.
+        do_up = jnp.logical_and(i > 0, i % 5 == 0)
+
+        def rho_update(_):
+            pri_r, dua_r, pri_n, dua_n = _osqp_residuals_stacked(
+                x, u, znew, vnew, y, g, problem, cache, drho, N)
+            newr = rho_mod.predict_rho(pri_r, dua_r, pri_n, dua_n, rho_b,
+                                       settings, dtype)
+            return jnp.where(conv, rho_b, newr)
+
+        rho_new = lax.cond(do_up, rho_update, lambda _: rho_b, None)
+        drho_new = rho_new - rho0
+
+        # termination residuals: the standard body updates the cache BEFORE
+        # the check, so duals scale by the NEW rho
+        ps = jnp.max(jnp.abs(x - vnew), axis=0)
+        pi = jnp.max(jnp.abs(u - znew), axis=0)
+        ds = jnp.max(jnp.abs(v - vnew), axis=0) * rho_new
+        di = jnp.max(jnp.abs(z - znew), axis=0) * rho_new
+        ok = (ps < pri_tol) & (pi < pri_tol) & (ds < dua_tol) & (di < dua_tol)
+        if settings.check_termination > 1:
+            ok = jnp.logical_and(ok,
+                                 ((i + 1) % settings.check_termination) == 0)
+        elif settings.check_termination <= 0:
+            ok = jnp.zeros_like(ok)
+        newly = jnp.logical_and(ok, jnp.logical_not(conv))
+
+        out_x = jnp.where(newly[None, :], vnew, out_x)
+        out_u = jnp.where(newly[None, :], znew, out_u)
+        out_it = jnp.where(newly, i + 1, out_it)
+        out_solved = jnp.where(newly, 1, out_solved)
+        conv_all = jnp.logical_or(conv, newly)
+
+        v = jnp.where(conv_all[None, :], v, vnew)
+        z = jnp.where(conv_all[None, :], z, znew)
+
+        # backward map: r/q/p_N were folded with the PRE-update rho (drho);
+        # the gain K carries the POST-update rho (drho_new)
+        vec2 = jnp.concatenate([znew, vnew, y, g, ones], axis=0)
+        R2 = mm(T2stk, vec2).reshape(4, su, B)
+        d_new = (R2[0] + drho[None, :] * R2[1] + drho_new[None, :] * R2[2]
+                 + (drho * drho_new)[None, :] * R2[3])
+        d = jnp.where(conv_all[None, :], d, d_new)
+
+        return (d, y, g, v, z, rho_new, out_x, out_u, out_it, out_solved,
+                conv_all, i + 1)
+
+    def cond(carry):
+        conv, i = carry[-2], carry[-1]
+        return jnp.logical_and(i < settings.max_iter,
+                               jnp.logical_not(jnp.all(conv)))
+
+    if warm is None:
+        zeros_u = jnp.zeros((su, B), dtype)
+        zeros_x = jnp.zeros((sx, B), dtype)
+        warm = AdaptiveCondensedCarry(
+            d=zeros_u, y=zeros_u, g=zeros_x, v=zeros_x, z=zeros_u,
+            rho=jnp.full((B,), jnp.asarray(cache.rho, dtype)))
+    carry0 = (warm.d, warm.y, warm.g, warm.v, warm.z, warm.rho,
+              jnp.zeros((sx, B), dtype), jnp.zeros((su, B), dtype),
+              jnp.full((B,), settings.max_iter, jnp.int32),
+              jnp.zeros((B,), jnp.int32),
+              jnp.zeros((B,), bool), jnp.zeros((), jnp.int32))
+    (d, y, g, v, z, rho_b, out_x, out_u, out_it, out_solved, conv, _) = \
+        lax.while_loop(cond, body, carry0)
+
+    out_x = jnp.where(conv[None, :], out_x, v)
+    out_u = jnp.where(conv[None, :], out_u, z)
+
+    xs = out_x.T.reshape(B, N, nx)
+    us = out_u.T.reshape(B, N - 1, nu)
+    carry = AdaptiveCondensedCarry(d=d, y=y, g=g, v=v, z=z, rho=rho_b)
+    return xs, us, out_it, out_solved, carry
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _solve_condensed_adaptive(problem, cache, maps, x0s, warm, *, settings):
+    return _solve_condensed_adaptive_impl(problem, cache, maps, settings,
+                                          x0s, warm)
+
+
+def solve_condensed_adaptive(problem: Problem, cache: Cache,
+                             settings: Settings, x0s,
+                             maps: CondensedTaylorMaps | None = None, *,
+                             order: int = 2,
+                             warm: AdaptiveCondensedCarry | None = None,
+                             return_carry: bool = False):
+    """Condensed batched solve with per-lane adaptive rho (see
+    _solve_condensed_adaptive_impl).  Returns (xs, us, iters, solved), plus
+    the carry (with per-lane final rho) when ``return_carry=True``."""
+    if maps is None:
+        maps = build_condensed_taylor(problem, cache, order=order)
+    out = _solve_condensed_adaptive(problem, cache, maps, x0s, warm,
+                                    settings=settings)
     return out if return_carry else out[:4]

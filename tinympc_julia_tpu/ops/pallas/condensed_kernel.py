@@ -24,11 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..condensed import CondensedMaps, build_condensed
 
 
-def _dot(a, b):
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+def _make_dot(precision):
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+    return _dot
 
 
 def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
@@ -38,6 +40,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 en_state_bound: bool = False,
                                 en_input_bound: bool = True,
                                 relaxation_alpha: float = 1.0,
+                                precision=jax.lax.Precision.HIGHEST,
                                 interpret: bool = False):
     """Build a jitted fused condensed solver.
 
@@ -51,6 +54,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
     in1 = su + nx + 1
     in2 = su + sx + su + sx + 1
     alpha = relaxation_alpha
+    _dot = _make_dot(precision)
 
     def kernel(T1_r, T2_r, rho_r, umin_r, umax_r, xmin_r, xmax_r, x0_r,
                xout_r, uout_r, iters_r, solved_r,
