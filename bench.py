@@ -44,25 +44,33 @@ def main():
     c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(cartpole.RHO, dtype))
     maps = build_condensed(p, c)
     kw = dict(en_input_bound=True, en_state_bound=False,
-              relaxation_alpha=ALPHA)
-    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=1024, max_iter=100,
-                                      **kw)
-    fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=1024, max_iter=400,
-                                      **kw)
+              relaxation_alpha=ALPHA, check_termination=4)
+    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=100,
+                                      carry_out=True, **kw)
+    fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=1024, max_iter=300,
+                                      warm_start=True, **kw)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
     bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
-    def run():
-        """Two-phase fused solve: bulk pass, then compact the stragglers and
-        finish them (VMEM-resident condensed kernel, ops/pallas)."""
-        _, _, it1, ok1 = fn1(maps, c.rho, *bounds, x0s)
+    @jax.jit
+    def _pipeline(x0s):
+        """Two-phase fused solve as ONE dispatch: bulk pass, compact the
+        stragglers, CONTINUE them warm from their phase-1 carry (exact
+        continuation — no re-solving; VMEM-resident condensed kernel,
+        ops/pallas)."""
+        _, _, it1, ok1, carry = fn1(maps, c.rho, *bounds, x0s)
         unconv = ok1 == 0
         idx = jnp.nonzero(unconv, size=B2, fill_value=0)[0]
-        _, _, it2, ok2 = fn2(maps, c.rho, *bounds, x0s[idx])
-        jax.block_until_ready(ok2)
+        warm = tuple(w[:, idx] for w in carry)
+        _, _, it2, ok2 = fn2(maps, c.rho, *bounds, x0s[idx], warm)
         return it1, ok1, idx, it2, ok2, unconv
+
+    def run():
+        out = _pipeline(x0s)
+        jax.block_until_ready(out[4])
+        return out
 
     # Warmup / compile both phases
     it1, ok1, idx, it2, ok2, unconv = run()

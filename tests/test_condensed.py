@@ -187,3 +187,17 @@ class TestOverRelaxation:
         np.testing.assert_array_equal(np.asarray(iters), np.asarray(sol.iter))
         np.testing.assert_allclose(np.asarray(us), np.asarray(sol.u),
                                    atol=1e-11)
+
+
+def test_t2_dual_blocks_are_exact_negations():
+    """The duals enter T2 only through rho (y - znew) / rho (g - vnew), so
+    the y/g coefficient blocks are bit-exact negations of the z/v blocks —
+    the identity behind the reduced backward contraction."""
+    p, c = _mk(cartpole, 1.0, 5.0)
+    rng = np.random.default_rng(7)
+    p = p.replace(Xref=jnp.asarray(rng.normal(size=(20, 4)) * 0.1),
+                  Uref=jnp.asarray(rng.normal(size=(19, 1)) * 0.05))
+    T2 = np.asarray(build_condensed(p, c).T2)
+    su, sx = 19, 80
+    np.testing.assert_array_equal(T2[:, su + sx:su + sx + su], -T2[:, :su])
+    np.testing.assert_array_equal(T2[:, su + sx + su:-1], -T2[:, su:su + sx])

@@ -86,3 +86,31 @@ def test_condensed_loop_with_moving_refs():
                                   np.asarray(res_std.iters))
     np.testing.assert_allclose(np.asarray(res_cond.us),
                                np.asarray(res_std.us), atol=1e-9)
+
+
+def test_fused_loop_matches_condensed_loop():
+    """The all-Pallas closed loop (run_mpc_loop_fused) tracks the XLA
+    condensed loop in float32: same per-step iteration counts, matching
+    applied controls."""
+    import jax.numpy as jnp
+    from tinympc_julia_tpu.parallel.mpc import run_mpc_loop_fused
+
+    dtype = jnp.float32
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype), 1.0, 20,
+                     u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True)
+    x0s = jnp.asarray([[0.0, 0.0, 0.1, 0.0], [0.4, -0.1, -0.05, 0.0]], dtype)
+    n_steps = 20
+    res_f = run_mpc_loop_fused(p, c, s, x0s, n_steps, batch_tile=2)
+    res_c = run_mpc_loop_condensed(p, c, s, x0s, n_steps)
+    assert np.asarray(res_f.solved).all() and np.asarray(res_c.solved).all()
+    np.testing.assert_array_equal(np.asarray(res_f.iters),
+                                  np.asarray(res_c.iters))
+    np.testing.assert_allclose(np.asarray(res_f.us), np.asarray(res_c.us),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_f.xs), np.asarray(res_c.xs),
+                               atol=1e-5)

@@ -83,3 +83,96 @@ def test_fused_matches_xla():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(xs)[both], np.asarray(sol.x)[both],
                                atol=1e-5)
+
+
+def test_condensed_fused_warm_continuation():
+    """A solve of 30 iterations (carry_out) continued warm for 50 more
+    reproduces a one-shot 80-iteration solve lane-for-lane: same per-lane
+    totals, same solutions."""
+    from tinympc_julia_tpu.ops.condensed import build_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 256
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    maps = build_condensed(p, c)
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+    interp = jax.default_backend() != "tpu"
+    kw = dict(en_input_bound=True, en_state_bound=False,
+              relaxation_alpha=1.0, interpret=interp, batch_tile=128)
+
+    one = make_condensed_fused_solver(4, 1, N, max_iter=80, **kw)
+    xs1, us1, it1, ok1 = one(maps, c.rho, *bounds, x0s)
+
+    ph1 = make_condensed_fused_solver(4, 1, N, max_iter=30, carry_out=True,
+                                      **kw)
+    ph2 = make_condensed_fused_solver(4, 1, N, max_iter=50, warm_start=True,
+                                      **kw)
+    xsa, usa, ita, oka, carry = ph1(maps, c.rho, *bounds, x0s)
+    xsb, usb, itb, okb = ph2(maps, c.rho, *bounds, x0s, carry)
+
+    it1_np, ita_np, itb_np = map(np.asarray, (it1, ita, itb))
+    ok1_np, oka_np, okb_np = map(np.asarray, (ok1, oka, okb))
+    # phase-1 converged lanes: identical latched results
+    ca = oka_np == 1
+    assert ca.any()
+    np.testing.assert_array_equal(ita_np[ca], it1_np[ca])
+    np.testing.assert_allclose(np.asarray(usa)[ca], np.asarray(us1)[ca],
+                               atol=0)
+    # continuation lanes: totals line up (30 + phase-2 count) and solutions
+    # match the one-shot solve
+    cb = (~ca) & (okb_np == 1) & (ok1_np == 1)
+    assert cb.any()
+    np.testing.assert_array_equal(30 + itb_np[cb], it1_np[cb])
+    np.testing.assert_allclose(np.asarray(usb)[cb], np.asarray(us1)[cb],
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(xsb)[cb], np.asarray(xs1)[cb],
+                               atol=0)
+
+
+def test_condensed_fused_check_termination_matches_xla():
+    """Grouped residual checks (check_termination=2) reproduce the XLA path's
+    Settings.check_termination semantics: identical per-lane counts."""
+    from tinympc_julia_tpu.ops.condensed import build_condensed, solve_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 256
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    maps = build_condensed(p, c)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+
+    fn = make_condensed_fused_solver(
+        4, 1, N, batch_tile=128, max_iter=80, en_input_bound=True,
+        en_state_bound=False, relaxation_alpha=1.7, check_termination=2,
+        interpret=jax.default_backend() != "tpu")
+    xs, us, iters, solved = fn(maps, c.rho, p.u_min, p.u_max, p.x_min,
+                               p.x_max, x0s)
+    assert (np.asarray(iters)[np.asarray(solved) == 1] % 2 == 0).all()
+
+    s = Settings(max_iter=80, en_state_bound=False, en_input_bound=True,
+                 relaxation_alpha=1.7, check_termination=2)
+    xs2, us2, it2, ok2 = solve_condensed(p, c, s, x0s, maps)
+    both = (np.asarray(solved) == 1) & (np.asarray(ok2) == 1)
+    assert both.sum() > B // 2
+    np.testing.assert_array_equal(np.asarray(iters)[both],
+                                  np.asarray(it2)[both])
+    np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
+                               atol=1e-6)

@@ -441,6 +441,10 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
     dua_tol = jnp.asarray(settings.abs_dua_tol, dtype)
 
     T1, T2 = maps.T1, maps.T2
+    # Reduced backward map: the duals enter T2 only through rho (y - znew) /
+    # rho (g - vnew) (update_linear_cost, admm.cpp:75-83), so the y/g blocks
+    # are exact negations of the z/v blocks — contract on [znew-y; vnew-g; 1].
+    T2r = jnp.concatenate([T2[:, :su + sx], T2[:, -1:]], axis=1)
     x0T = x0s.T  # (nx, B)
     ones = jnp.ones((1, B), dtype)
 
@@ -510,8 +514,8 @@ def _solve_condensed_impl(problem: Problem, cache: Cache, maps: CondensedMaps,
         v = jnp.where(conv_all[None, :], v, vnew)
         z = jnp.where(conv_all[None, :], z, znew)
 
-        vec2 = jnp.concatenate([znew, vnew, y, g, ones], axis=0)
-        d_new = mm(T2, vec2)
+        vec2 = jnp.concatenate([znew - y, vnew - g, ones], axis=0)
+        d_new = mm(T2r, vec2)
         if d_ref is not None:
             d_new = d_new + d_ref[:, None]
         d = jnp.where(conv_all[None, :], d, d_new)
@@ -626,7 +630,11 @@ def _solve_condensed_adaptive_impl(problem: Problem, cache: Cache,
     dtype = x0s.dtype
     order = maps.T1s.shape[0] - 1
     T1stk = maps.T1s.reshape((order + 1) * (su + sx), -1)
-    T2stk = maps.T2s.reshape(4 * su, -1)
+    # reduced backward blocks (y/g columns are exact negations of z/v — see
+    # _solve_condensed_impl; holds for every Taylor coefficient block)
+    T2r = jnp.concatenate([maps.T2s[:, :, :su + sx], maps.T2s[:, :, -1:]],
+                          axis=2)
+    T2stk = T2r.reshape(4 * su, -1)
     rho0 = maps.rho0.astype(dtype)
 
     umin = problem.u_min.reshape(su, 1)
@@ -723,7 +731,7 @@ def _solve_condensed_adaptive_impl(problem: Problem, cache: Cache,
 
         # backward map: r/q/p_N were folded with the PRE-update rho (drho);
         # the gain K carries the POST-update rho (drho_new)
-        vec2 = jnp.concatenate([znew, vnew, y, g, ones], axis=0)
+        vec2 = jnp.concatenate([znew - y, vnew - g, ones], axis=0)
         R2 = mm(T2stk, vec2).reshape(4, su, B)
         d_new = (R2[0] + drho[None, :] * R2[1] + drho_new[None, :] * R2[2]
                  + (drho * drho_new)[None, :] * R2[3])

@@ -6,9 +6,25 @@ horizon chain) and VMEM residency (the XLA while-loop streams the ~10 carry
 arrays through HBM every iteration; here a batch tile's entire carry lives in
 VMEM for the whole solve).
 
-Scope: box-constrained fresh solves, shared problem — the benchmark workload.
-Semantics identical to ops/condensed.py (per-lane latching of solutions at
-first convergence, reference termination residuals).
+Kernel-level optimizations over a direct transcription of ops/condensed.py
+(all exact in exact arithmetic; float-reassociation-level differences only):
+
+* Reduced backward contraction: the duals enter T2 only through
+  rho (y - znew) and rho (g - vnew) (update_linear_cost, admm.cpp:75-83), so
+  T2's y/g coefficient blocks are exact negations of its z/v blocks and the
+  matmul runs on [znew - y; vnew - g; 1] — contraction su+sx+1 instead of
+  2(su+sx)+1.
+* The x/u output blocks double as the v/z slack state: lanes freeze (stop
+  advancing) once converged, so at loop exit the outputs hold the latched
+  solution for converged lanes and the last slack iterates for the rest —
+  the reference's solution semantics (admm.cpp:187-188) with no separate
+  latch buffers.
+* d lives in the T1 input vector scratch (no copy per iteration).
+
+Scope: box-constrained solves, shared problem — the benchmark workload.
+Per-lane semantics identical to ops/condensed.py including warm-start carry
+freezing; `warm_start`/`carry_out` chain solves exactly (a solve of k
+iterations then a continuation reproduces one long solve lane-for-lane).
 """
 from __future__ import annotations
 
@@ -41,51 +57,85 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 en_input_bound: bool = True,
                                 relaxation_alpha: float = 1.0,
                                 precision=jax.lax.Precision.HIGHEST,
+                                check_termination: int = 1,
+                                warm_start: bool = False,
+                                carry_out: bool = False,
                                 interpret: bool = False):
     """Build a jitted fused condensed solver.
 
-    Returns solve_fn(maps, rho, u_min, u_max, x_min, x_max, x0s) ->
-    (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,)) with bounds given
-    stacked ((N-1)*nu,)/(N*nx,) shared across the batch and x0s (B, nx).
+    Returns solve_fn(maps, rho, u_min, u_max, x_min, x_max, x0s[, warm]) ->
+    (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,)[, carry]) with bounds
+    given stacked ((N-1)*nu,)/(N*nx,) shared across the batch and x0s (B,nx).
+
+    With ``warm_start=True`` the extra ``warm`` argument is a (d, y, g, v, z)
+    tuple of stacked (dim, B) arrays (a previous solve's carry); with
+    ``carry_out=True`` the result gains that same tuple for chaining.
+
+    ``check_termination=k`` evaluates residuals only every k-th iteration
+    (reference Settings semantics, admm.cpp:181): the k-1 intermediate
+    iterations skip the whole residual/latch block — ~1/3 of the per-iteration
+    VPU work — at the cost of lanes converging only on multiples of k.
     """
     Bt = batch_tile
     su = (N - 1) * nu
     sx = N * nx
     in1 = su + nx + 1
-    in2 = su + sx + su + sx + 1
+    in2r = su + sx + 1
     alpha = relaxation_alpha
+    ct = check_termination
+    assert ct >= 1 and max_iter % ct == 0, \
+        "max_iter must be a multiple of check_termination"
     _dot = _make_dot(precision)
 
-    def kernel(T1_r, T2_r, rho_r, umin_r, umax_r, xmin_r, xmax_r, x0_r,
-               xout_r, uout_r, iters_r, solved_r,
-               d_s, y_s, g_s, v_s, z_s, vec1_s, vec2_s, conv_s):
+    def kernel(*refs):
+        it = iter(refs)
+        T1_r, T2_r, rho_r = next(it), next(it), next(it)
+        umin_r, umax_r, xmin_r, xmax_r, x0_r = (next(it) for _ in range(5))
+        if warm_start:
+            d0_r, y0_r, g0_r, v0_r, z0_r = (next(it) for _ in range(5))
+        xout_r, uout_r, iters_r, solved_r = (next(it) for _ in range(4))
+        if carry_out:
+            dco_r, yco_r, gco_r = (next(it) for _ in range(3))
+        y_s, g_s, vec1_s, vec2_s, conv_s = (next(it) for _ in range(5))
+
         T1 = T1_r[...]
         T2 = T2_r[...]
         rho = rho_r[0, 0]
 
-        for ref in (d_s, y_s, g_s, v_s, z_s):
-            ref[...] = jnp.zeros_like(ref)
-        conv_s[...] = jnp.zeros_like(conv_s)
-        iters_r[...] = jnp.full_like(iters_r, max_iter)
-        solved_r[...] = jnp.zeros_like(solved_r)
+        # init: vec1 = [d; x0; 1]; outputs double as the v/z slack state
         vec1_s[...] = jnp.zeros_like(vec1_s)
         vec1_s[su:su + nx] = x0_r[...]
         vec1_s[in1 - 1:in1, :] = jnp.ones_like(vec1_s[in1 - 1:in1, :])
+        if warm_start:
+            vec1_s[:su] = d0_r[...]
+            y_s[...] = y0_r[...]
+            g_s[...] = g0_r[...]
+            xout_r[...] = v0_r[...]
+            uout_r[...] = z0_r[...]
+        else:
+            y_s[...] = jnp.zeros_like(y_s)
+            g_s[...] = jnp.zeros_like(g_s)
+            xout_r[...] = jnp.zeros_like(xout_r)
+            uout_r[...] = jnp.zeros_like(uout_r)
+        conv_s[...] = jnp.zeros_like(conv_s)
+        iters_r[...] = jnp.full_like(iters_r, max_iter)
+        solved_r[...] = jnp.zeros_like(solved_r)
         vec2_s[...] = jnp.zeros_like(vec2_s)
-        vec2_s[in2 - 1:in2, :] = jnp.ones_like(vec2_s[in2 - 1:in2, :])
+        vec2_s[in2r - 1:in2r, :] = jnp.ones_like(vec2_s[in2r - 1:in2r, :])
 
         pri_tol = jnp.float32(abs_pri_tol)
         dua_tol = jnp.float32(abs_dua_tol)
 
-        def body(carry):
-            i, _ = carry
-            vec1_s[:su] = d_s[...]
+        def one_iter(i, check):
+            """One ADMM iteration; residual/latch block only when `check`
+            (python static) — intermediate iterations cannot converge,
+            mirroring Settings.check_termination."""
             ux = _dot(T1, vec1_s[...])
             u = ux[:su]
             x = ux[su:]
 
-            z = z_s[...]
-            v = v_s[...]
+            z = uout_r[...]
+            v = xout_r[...]
             if alpha != 1.0:
                 u_hat = alpha * u + (1.0 - alpha) * z
                 x_hat = alpha * x + (1.0 - alpha) * v
@@ -100,35 +150,46 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                 vnew = jnp.minimum(xmax_r[...],
                                    jnp.maximum(xmin_r[...], vnew))
 
-            y_s[...] = y_s[...] + u_hat - znew
-            g_s[...] = g_s[...] + x_hat - vnew
-
-            ps = jnp.max(jnp.abs(x - vnew), axis=0)
-            pi = jnp.max(jnp.abs(u - znew), axis=0)
-            ds = jnp.max(jnp.abs(v - vnew), axis=0) * rho
-            di = jnp.max(jnp.abs(z - znew), axis=0) * rho
-            ok = ((ps < pri_tol) & (pi < pri_tol)
-                  & (ds < dua_tol) & (di < dua_tol))[None, :]
             prev = conv_s[...] != 0
-            newly = jnp.logical_and(ok, jnp.logical_not(prev))
+            # converged lanes freeze entirely (reference early-return)
+            y_s[...] = jnp.where(prev, y_s[...], y_s[...] + u_hat - znew)
+            g_s[...] = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
 
-            xout_r[...] = jnp.where(newly, vnew, xout_r[...])
-            uout_r[...] = jnp.where(newly, znew, uout_r[...])
-            iters_r[...] = jnp.where(newly, i + 1, iters_r[...])
-            solved_r[...] = jnp.where(newly, 1, solved_r[...])
-            conv_all = jnp.logical_or(prev, newly)
-            conv_s[...] = conv_all.astype(jnp.int32)
+            if check:
+                ps = jnp.max(jnp.abs(x - vnew), axis=0)
+                pi = jnp.max(jnp.abs(u - znew), axis=0)
+                ds = jnp.max(jnp.abs(v - vnew), axis=0) * rho
+                di = jnp.max(jnp.abs(z - znew), axis=0) * rho
+                ok = ((ps < pri_tol) & (pi < pri_tol)
+                      & (ds < dua_tol) & (di < dua_tol))[None, :]
+                newly = jnp.logical_and(ok, jnp.logical_not(prev))
 
-            v_s[...] = vnew
-            z_s[...] = znew
+                iters_r[...] = jnp.where(newly, i + 1, iters_r[...])
+                solved_r[...] = jnp.where(newly, 1, solved_r[...])
+                conv_all = jnp.logical_or(prev, newly)
+                conv_s[...] = conv_all.astype(jnp.int32)
+            else:
+                conv_all = prev
 
-            vec2_s[:su] = znew
-            vec2_s[su:su + sx] = vnew
-            vec2_s[su + sx:su + sx + su] = y_s[...]
-            vec2_s[su + sx + su:su + sx + su + sx] = g_s[...]
-            d_s[...] = _dot(T2, vec2_s[...])
+            # v/z advance only while the lane runs; on the converging
+            # iteration they take vnew/znew (the latched solution) and then
+            # freeze — so the outputs are already correct at loop exit.
+            xout_r[...] = jnp.where(prev, v, vnew)
+            uout_r[...] = jnp.where(prev, z, znew)
 
-            return (i + 1, jnp.all(conv_all))
+            vec2_s[:su] = znew - y_s[...]
+            vec2_s[su:su + sx] = vnew - g_s[...]
+            d_new = _dot(T2, vec2_s[...])
+            vec1_s[:su] = jnp.where(conv_all, vec1_s[:su], d_new)
+
+            return jnp.all(conv_all)
+
+        def body(carry):
+            i, _ = carry
+            for k in range(ct - 1):
+                one_iter(i + k, False)
+            done = one_iter(i + ct - 1, True)
+            return (i + ct, done)
 
         def cond(carry):
             i, done = carry
@@ -136,59 +197,79 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
 
         lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
-        conv = conv_s[...] != 0
-        xout_r[...] = jnp.where(conv, xout_r[...], v_s[...])
-        uout_r[...] = jnp.where(conv, uout_r[...], z_s[...])
+        if carry_out:
+            dco_r[...] = vec1_s[:su]
+            yco_r[...] = y_s[...]
+            gco_r[...] = g_s[...]
 
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    def tile_spec(rows):
+        return pl.BlockSpec((rows, Bt), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+
     @jax.jit
-    def solve_fn(maps: CondensedMaps, rho, u_min, u_max, x_min, x_max, x0s):
+    def solve_fn(maps: CondensedMaps, rho, u_min, u_max, x_min, x_max, x0s,
+                 warm=None):
         Btot = x0s.shape[0]
         assert Btot % Bt == 0, f"batch {Btot} not a multiple of tile {Bt}"
         f32 = jnp.float32
-        args = (
-            maps.T1.astype(f32), maps.T2.astype(f32),
+        T2 = maps.T2.astype(f32)
+        # reduced backward map: y/g blocks are exact negations of z/v blocks
+        T2r = jnp.concatenate([T2[:, :su + sx], T2[:, -1:]], axis=1)
+        args = [
+            maps.T1.astype(f32), T2r,
             jnp.asarray(rho, f32)[None, None],
             u_min.reshape(su, 1).astype(f32), u_max.reshape(su, 1).astype(f32),
             x_min.reshape(sx, 1).astype(f32), x_max.reshape(sx, 1).astype(f32),
             x0s.T.astype(f32),
-        )
-        in_specs = [shared] * 7 + [
-            pl.BlockSpec((nx, Bt), lambda t: (0, t), memory_space=pltpu.VMEM)]
-        out_specs = (
-            pl.BlockSpec((sx, Bt), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((su, Bt), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt), lambda t: (0, t), memory_space=pltpu.VMEM),
-        )
-        out_shape = (
+        ]
+        in_specs = [shared] * 7 + [tile_spec(nx)]
+        if warm_start:
+            if warm is None:
+                raise ValueError("warm_start solver needs the warm carry")
+            d0, y0, g0, v0, z0 = (w.astype(f32) for w in warm)
+            args += [d0, y0, g0, v0, z0]
+            in_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+                         tile_spec(sx), tile_spec(su)]
+        elif warm is not None:
+            raise ValueError("pass warm only to a warm_start=True solver")
+
+        out_specs = [tile_spec(sx), tile_spec(su), tile_spec(1), tile_spec(1)]
+        out_shape = [
             jax.ShapeDtypeStruct((sx, Btot), f32),
             jax.ShapeDtypeStruct((su, Btot), f32),
             jax.ShapeDtypeStruct((1, Btot), jnp.int32),
             jax.ShapeDtypeStruct((1, Btot), jnp.int32),
-        )
+        ]
+        if carry_out:
+            out_specs += [tile_spec(su), tile_spec(su), tile_spec(sx)]
+            out_shape += [jax.ShapeDtypeStruct((su, Btot), f32),
+                          jax.ShapeDtypeStruct((su, Btot), f32),
+                          jax.ShapeDtypeStruct((sx, Btot), f32)]
         scratch_shapes = [
-            pltpu.VMEM((su, Bt), f32),   # d
-            pltpu.VMEM((su, Bt), f32),   # y
-            pltpu.VMEM((sx, Bt), f32),   # g
-            pltpu.VMEM((sx, Bt), f32),   # v
-            pltpu.VMEM((su, Bt), f32),   # z
-            pltpu.VMEM((in1, Bt), f32),  # vec1
-            pltpu.VMEM((in2, Bt), f32),  # vec2
+            pltpu.VMEM((su, Bt), f32),    # y
+            pltpu.VMEM((sx, Bt), f32),    # g
+            pltpu.VMEM((in1, Bt), f32),   # vec1 = [d; x0; 1]
+            pltpu.VMEM((in2r, Bt), f32),  # vec2 = [znew - y; vnew - g; 1]
             pltpu.VMEM((1, Bt), jnp.int32),  # conv
         ]
-        xs, us, iters, solved = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(Btot // Bt,),
             in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(*args)
+        vs, zs, iters, solved = out[:4]
         B = Btot
-        return (xs.T.reshape(B, N, nx), us.T.reshape(B, N - 1, nu),
-                iters[0], solved[0])
+        res = (vs.T.reshape(B, N, nx), zs.T.reshape(B, N - 1, nu),
+               iters[0], solved[0])
+        if carry_out:
+            d_f, y_f, g_f = out[4], out[5], out[6]
+            return res + ((d_f, y_f, g_f, vs, zs),)
+        return res
 
     return solve_fn

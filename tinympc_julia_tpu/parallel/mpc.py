@@ -117,6 +117,83 @@ def run_mpc_loop_condensed(problem: Problem, cache: Cache, settings: Settings,
                                settings=settings, n_steps=n_steps)
 
 
+def make_fused_mpc_loop(problem: Problem, cache: Cache, settings: Settings,
+                        n_steps: int, *, batch_tile: int = 1024,
+                        interpret: bool | None = None):
+    """Build a jitted closed-loop MPC runner with every solve inside the
+    VMEM-resident fused condensed kernel (ops/pallas), chained across control
+    steps through the kernel's warm-start carry — the serving configuration:
+    one `lax.scan` of Pallas solves, zero HBM round-trips for the solver
+    state within a solve.
+
+    Scope: box constraints, fixed rho, fixed references (baked into the
+    maps), float32.  Carry semantics match run_mpc_loop_condensed exactly.
+    Returns loop_fn(x0s (B, nx)) -> CondensedMPCLoopResult; hold onto it to
+    reuse the compilation across calls.
+    """
+    from ..ops import condensed as cond
+    from ..ops.pallas.condensed_kernel import make_condensed_fused_solver
+
+    if (settings.adaptive_rho or settings.en_input_soc or settings.en_state_soc
+            or settings.en_input_linear or settings.en_state_linear):
+        raise ValueError("fused MPC loop supports box constraints and fixed "
+                         "rho; use run_mpc_loop / run_mpc_loop_condensed")
+    nx, nu, N = problem.nx, problem.nu, problem.N
+    su, sx = (N - 1) * nu, N * nx
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    maps = cond.build_condensed(problem, cache)
+    fn = make_condensed_fused_solver(
+        nx, nu, N, batch_tile=batch_tile, max_iter=settings.max_iter,
+        abs_pri_tol=settings.abs_pri_tol, abs_dua_tol=settings.abs_dua_tol,
+        en_state_bound=settings.en_state_bound,
+        en_input_bound=settings.en_input_bound,
+        relaxation_alpha=settings.relaxation_alpha,
+        check_termination=max(settings.check_termination, 1),
+        warm_start=True, carry_out=True, interpret=interpret)
+
+    f32 = jnp.float32
+    bounds = (problem.u_min, problem.u_max, problem.x_min, problem.x_max)
+
+    @jax.jit
+    def loop(x0s):
+        B = x0s.shape[0]
+        zu = jnp.zeros((su, B), f32)
+        zx = jnp.zeros((sx, B), f32)
+        warm0 = (zu, zu, zx, zx, zu)  # (d, y, g, v, z)
+
+        def step(carry, t):
+            warm, x = carry
+            _, us_plan, it, ok, warm2 = fn(maps, cache.rho, *bounds, x, warm)
+            u0 = us_plan[:, 0, :]
+            x_next = x @ problem.A.T + u0 @ problem.B.T + problem.f
+            return (warm2, x_next), (x, u0, it, ok)
+
+        (_, _), (xs, us, iters, solved) = lax.scan(
+            step, (warm0, x0s.astype(f32)), jnp.arange(n_steps))
+        return (jnp.swapaxes(xs, 0, 1), jnp.swapaxes(us, 0, 1),
+                jnp.swapaxes(iters, 0, 1), jnp.swapaxes(solved, 0, 1))
+
+    def loop_fn(x0s) -> CondensedMPCLoopResult:
+        xs, us, iters, solved = loop(jnp.asarray(x0s, f32))
+        return CondensedMPCLoopResult(xs=xs, us=us, iters=iters,
+                                      solved=solved)
+
+    return loop_fn
+
+
+def run_mpc_loop_fused(problem: Problem, cache: Cache, settings: Settings,
+                       x0s, n_steps: int, *, batch_tile: int = 1024,
+                       interpret: bool | None = None
+                       ) -> CondensedMPCLoopResult:
+    """One-shot convenience wrapper over make_fused_mpc_loop (builds + jits
+    per call; hold the factory's loop_fn when calling repeatedly)."""
+    loop_fn = make_fused_mpc_loop(problem, cache, settings, n_steps,
+                                  batch_tile=batch_tile, interpret=interpret)
+    return loop_fn(x0s)
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "n_steps"))
 def _mpc_loop_condensed(problem, cache, maps, x0s, Xrefs, Urefs, *,
                         settings: Settings, n_steps: int
