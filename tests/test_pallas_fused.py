@@ -47,7 +47,7 @@ def test_condensed_fused_matches_xla_condensed():
     np.testing.assert_array_equal(np.asarray(iters)[both],
                                   np.asarray(it2)[both])
     np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
-                               atol=1e-6)
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_fused_matches_xla():
@@ -175,4 +175,4 @@ def test_condensed_fused_check_termination_matches_xla():
     np.testing.assert_array_equal(np.asarray(iters)[both],
                                   np.asarray(it2)[both])
     np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
-                               atol=1e-6)
+                               atol=1e-5, rtol=1e-5)
