@@ -176,3 +176,104 @@ def test_condensed_fused_check_termination_matches_xla():
                                   np.asarray(it2)[both])
     np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_condensed_fused_rocket_soc():
+    """Fused kernel with per-stage SOC + box (the rocket configuration,
+    selector-matmul projections) vs the XLA condensed path."""
+    from tinympc_julia_tpu import ConeSet
+    from tinympc_julia_tpu.models import rocket
+    from tinympc_julia_tpu.ops.condensed import build_condensed, solve_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = rocket.HORIZON
+    B = 128
+    x_min, x_max, u_min, u_max = rocket.bounds(N)
+    Xref, Uref = rocket.reference_trajectory(0)
+    p = make_problem(jnp.asarray(rocket.A, dtype),
+                     jnp.asarray(rocket.B, dtype),
+                     jnp.asarray(np.diag(rocket.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(rocket.R_DIAG), dtype),
+                     rocket.RHO, N, f=jnp.asarray(rocket.F, dtype),
+                     x_min=jnp.asarray(x_min.T, dtype),
+                     x_max=jnp.asarray(x_max.T, dtype),
+                     u_min=jnp.asarray(u_min.T, dtype),
+                     u_max=jnp.asarray(u_max.T, dtype),
+                     Xref=jnp.asarray(Xref.T, dtype),
+                     Uref=jnp.asarray(Uref.T, dtype),
+                     cones_u=ConeSet(mus=jnp.asarray([rocket.MU_INPUT], dtype),
+                                     starts=(0,), dims=(3,)),
+                     cones_x=ConeSet(mus=jnp.asarray([rocket.MU_STATE], dtype),
+                                     starts=(0,), dims=(3,)))
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(rocket.RHO, dtype))
+    maps = build_condensed(p, c)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rocket.X_INIT[None, :]
+                      + rng.uniform(-0.2, 0.2, size=(B, 6)), dtype)
+
+    fn = make_condensed_fused_solver(
+        6, 3, N, batch_tile=64, max_iter=200, abs_pri_tol=2e-3,
+        abs_dua_tol=1e-3, en_input_bound=True, en_state_bound=True,
+        soc_u=((0, 3, rocket.MU_INPUT),), soc_x=((0, 3, rocket.MU_STATE),),
+        interpret=jax.default_backend() != "tpu")
+    xs, us, iters, solved = fn(maps, c.rho, p.u_min, p.u_max, p.x_min,
+                               p.x_max, x0s)
+
+    s = Settings(max_iter=200, abs_pri_tol=2e-3, abs_dua_tol=1e-3,
+                 en_state_bound=True, en_input_bound=True,
+                 en_input_soc=True, en_state_soc=True)
+    xs2, us2, it2, ok2 = solve_condensed(p, c, s, x0s, maps)
+
+    both = (np.asarray(solved) == 1) & (np.asarray(ok2) == 1)
+    assert both.sum() > B // 2
+    np.testing.assert_array_equal(np.asarray(iters)[both],
+                                  np.asarray(it2)[both])
+    np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
+                               atol=1e-4, rtol=1e-4)
+    # thrust cone satisfied: ||u[0:2]|| <= mu * u[2]
+    uu = np.asarray(us)[both]
+    lhs = np.linalg.norm(uu[..., :2], axis=-1)
+    assert (lhs <= rocket.MU_INPUT * uu[..., 2] + 5e-3).all()
+
+
+def test_condensed_fused_halfspaces():
+    """Fused kernel with per-stage linear halfspace rows vs the XLA path."""
+    from tinympc_julia_tpu.ops.condensed import build_condensed, solve_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 128
+    Alin_x = np.array([[1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.5]])
+    blin_x = np.array([1.0, 0.8])
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0,
+                     Alin_x=jnp.asarray(Alin_x, dtype),
+                     blin_x=jnp.asarray(blin_x, dtype))
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    maps = build_condensed(p, c)
+    rng = np.random.default_rng(4)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+
+    fn = make_condensed_fused_solver(
+        4, 1, N, batch_tile=64, max_iter=150, en_input_bound=True,
+        en_state_bound=False, lin_x=(Alin_x, blin_x),
+        interpret=jax.default_backend() != "tpu")
+    xs, us, iters, solved = fn(maps, c.rho, p.u_min, p.u_max, p.x_min,
+                               p.x_max, x0s)
+
+    s = Settings(max_iter=150, en_state_bound=False, en_input_bound=True,
+                 en_state_linear=True)
+    xs2, us2, it2, ok2 = solve_condensed(p, c, s, x0s, maps)
+    both = (np.asarray(solved) == 1) & (np.asarray(ok2) == 1)
+    assert both.sum() > B // 2
+    np.testing.assert_array_equal(np.asarray(iters)[both],
+                                  np.asarray(it2)[both])
+    np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
+                               atol=1e-4, rtol=1e-4)

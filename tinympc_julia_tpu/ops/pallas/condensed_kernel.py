@@ -49,6 +49,33 @@ def _make_dot(precision):
     return _dot
 
 
+def _cone_selectors(n_stages, dim, start, cdim):
+    """Host-side selector matrices for one per-stage scaled SOC on a stacked
+    (n_stages*dim, B) array: SelV sums the vpart rows of each stage, SelS
+    picks the scalar row; Exp* are their transposes (row expanders); rowmask
+    marks the rows the cone owns."""
+    s_dim = n_stages * dim
+    SelV = np.zeros((n_stages, s_dim), np.float32)
+    SelS = np.zeros((n_stages, s_dim), np.float32)
+    for k in range(n_stages):
+        for j in range(cdim - 1):
+            SelV[k, k * dim + start + j] = 1.0
+        SelS[k, k * dim + start + cdim - 1] = 1.0
+    rowmask = (SelV.sum(0) + SelS.sum(0)).reshape(s_dim, 1)
+    return SelV, SelS, SelV.T.copy(), SelS.T.copy(), rowmask
+
+
+def _halfspace_selectors(n_stages, dim, a, inv_sq):
+    """Host-side matrices for one per-stage halfspace a.w_k <= b: SelA takes
+    the per-stage inner products, Upd scatters the correction a/||a||^2."""
+    s_dim = n_stages * dim
+    SelA = np.zeros((n_stages, s_dim), np.float32)
+    for k in range(n_stages):
+        SelA[k, k * dim:(k + 1) * dim] = a
+    Upd = (SelA * inv_sq).T.copy()
+    return SelA, Upd
+
+
 def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 batch_tile: int = 2048, max_iter: int = 100,
                                 abs_pri_tol: float = 1e-3,
@@ -58,6 +85,8 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 relaxation_alpha: float = 1.0,
                                 precision=jax.lax.Precision.HIGHEST,
                                 check_termination: int = 1,
+                                soc_u: tuple = (), soc_x: tuple = (),
+                                lin_u=None, lin_x=None,
                                 warm_start: bool = False,
                                 carry_out: bool = False,
                                 interpret: bool = False):
@@ -75,6 +104,14 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
     (reference Settings semantics, admm.cpp:181): the k-1 intermediate
     iterations skip the whole residual/latch block — ~1/3 of the per-iteration
     VPU work — at the cost of lanes converging only on multiples of k.
+
+    Constraint families beyond bounds run as selector MATMULS on the stacked
+    layout (per-stage inner products / row scatters are contractions with
+    host-built 0/1 matrices — MXU work, no gather/reshape in the kernel):
+      soc_u / soc_x: tuples of (start, cone_dim, mu) scaled SOCs per stage
+        (projection semantics of ops/projections._project_soc_scaled);
+      lin_u / lin_x: (Alin (m, dim), blin (m,)) cyclic halfspace projections.
+    Composition order matches ops/condensed.py: box -> linear -> SOC.
     """
     Bt = batch_tile
     su = (N - 1) * nu
@@ -87,10 +124,60 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         "max_iter must be a multiple of check_termination"
     _dot = _make_dot(precision)
 
+    # host-built constraint selector matrices (static inputs)
+    def _lin_mats(lin, n_stages, dim):
+        if lin is None:
+            return []
+        Alin, blin = np.asarray(lin[0], np.float64), np.asarray(lin[1])
+        rows = []
+        for j in range(Alin.shape[0]):
+            a = Alin[j]
+            inv_sq = 1.0 / max(float(a @ a), 1e-30)
+            SelA, Upd = _halfspace_selectors(n_stages, dim, a, inv_sq)
+            rows.append((SelA, Upd, float(blin[j])))
+        return rows
+
+    soc_u_mats = [(_cone_selectors(N - 1, nu, s, d), float(mu))
+                  for (s, d, mu) in soc_u]
+    soc_x_mats = [(_cone_selectors(N, nx, s, d), float(mu))
+                  for (s, d, mu) in soc_x]
+    lin_u_mats = _lin_mats(lin_u, N - 1, nu)
+    lin_x_mats = _lin_mats(lin_x, N, nx)
+    n_cref = 5 * (len(soc_u_mats) + len(soc_x_mats)) \
+        + 2 * (len(lin_u_mats) + len(lin_x_mats))
+
+    def _apply_lin(w, refs, b):
+        """One cyclic halfspace projection on the stacked array."""
+        SelA, Upd = (r[...] for r in refs)
+        viol = jnp.maximum(_dot(SelA, w) - b, 0.0)
+        return w - _dot(Upd, viol)
+
+    def _apply_soc(w, refs, mu):
+        """One per-stage scaled-SOC projection on the stacked array
+        (_project_soc_scaled semantics)."""
+        SelV, SelS, ExpV, ExpS, rowmask = (r[...] for r in refs)
+        a = jnp.sqrt(_dot(SelV, w * w))          # (n_stages, Bt)
+        s = _dot(SelS, w)
+        u0 = s * mu
+        safe_a = jnp.maximum(a, jnp.float32(1e-30))
+        factor = (a + u0) / (2.0 * safe_a)
+        below = (a <= -u0).astype(jnp.float32)
+        inside = (a <= u0).astype(jnp.float32)
+        w_proj = w * _dot(ExpV, factor) + _dot(ExpS, factor * (a / mu))
+        bel_r = _dot(ExpV, below) + _dot(ExpS, below)
+        ins_r = _dot(ExpV, inside) + _dot(ExpS, inside)
+        w_cone = jnp.where(bel_r > 0.5, jnp.zeros_like(w),
+                           jnp.where(ins_r > 0.5, w, w_proj))
+        return jnp.where(rowmask > 0.5, w_cone, w)
+
     def kernel(*refs):
         it = iter(refs)
         T1_r, T2_r, rho_r = next(it), next(it), next(it)
         umin_r, umax_r, xmin_r, xmax_r, x0_r = (next(it) for _ in range(5))
+        soc_u_refs = [[next(it) for _ in range(5)] for _ in soc_u_mats]
+        soc_x_refs = [[next(it) for _ in range(5)] for _ in soc_x_mats]
+        lin_u_refs = [[next(it) for _ in range(2)] for _ in lin_u_mats]
+        lin_x_refs = [[next(it) for _ in range(2)] for _ in lin_x_mats]
         if warm_start:
             d0_r, y0_r, g0_r, v0_r, z0_r = (next(it) for _ in range(5))
         xout_r, uout_r, iters_r, solved_r = (next(it) for _ in range(4))
@@ -149,6 +236,15 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             if en_state_bound:
                 vnew = jnp.minimum(xmax_r[...],
                                    jnp.maximum(xmin_r[...], vnew))
+            # composition order: box -> linear -> SOC (ops/condensed.py)
+            for refs_j, (_, _, b) in zip(lin_u_refs, lin_u_mats):
+                znew = _apply_lin(znew, refs_j, b)
+            for refs_j, (_, _, b) in zip(lin_x_refs, lin_x_mats):
+                vnew = _apply_lin(vnew, refs_j, b)
+            for refs_j, (_, mu) in zip(soc_u_refs, soc_u_mats):
+                znew = _apply_soc(znew, refs_j, mu)
+            for refs_j, (_, mu) in zip(soc_x_refs, soc_x_mats):
+                vnew = _apply_soc(vnew, refs_j, mu)
 
             prev = conv_s[...] != 0
             # converged lanes freeze entirely (reference early-return)
@@ -224,7 +320,13 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             x_min.reshape(sx, 1).astype(f32), x_max.reshape(sx, 1).astype(f32),
             x0s.T.astype(f32),
         ]
-        in_specs = [shared] * 7 + [tile_spec(nx)]
+        for (SelV, SelS, ExpV, ExpS, rowmask), _ in (*soc_u_mats,
+                                                     *soc_x_mats):
+            args += [jnp.asarray(m) for m in (SelV, SelS, ExpV, ExpS,
+                                              rowmask)]
+        for SelA, Upd, _ in (*lin_u_mats, *lin_x_mats):
+            args += [jnp.asarray(SelA), jnp.asarray(Upd)]
+        in_specs = [shared] * 7 + [tile_spec(nx)] + [shared] * n_cref
         if warm_start:
             if warm is None:
                 raise ValueError("warm_start solver needs the warm carry")
