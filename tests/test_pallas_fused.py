@@ -277,3 +277,49 @@ def test_condensed_fused_halfspaces():
                                   np.asarray(it2)[both])
     np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
                                atol=1e-4, rtol=1e-4)
+
+
+def test_adaptive_fused_matches_xla_adaptive():
+    """Adaptive-rho fused kernel vs solve_condensed_adaptive: identical
+    per-lane iteration counts and final rho (f32)."""
+    from tinympc_julia_tpu.ops.condensed import (build_condensed_taylor,
+                                                 solve_condensed_adaptive)
+    from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
+        make_condensed_adaptive_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 128
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    tmaps = build_condensed_taylor(p, c, order=2)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+
+    fn = make_condensed_adaptive_fused_solver(
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
+        batch_tile=64, max_iter=200, en_input_bound=True,
+        en_state_bound=False, adaptive_rho_min=0.5, adaptive_rho_max=5.0,
+        interpret=jax.default_backend() != "tpu")
+    xs, us, iters, solved, rho = fn(tmaps, p.u_min, p.u_max, p.x_min,
+                                    p.x_max, x0s)
+
+    s = Settings(max_iter=200, en_state_bound=False, en_input_bound=True,
+                 adaptive_rho=True, adaptive_rho_min=0.5,
+                 adaptive_rho_max=5.0, adaptive_rho_enable_clipping=True)
+    xs2, us2, it2, ok2, carry = solve_condensed_adaptive(
+        p, c, s, x0s, tmaps, return_carry=True)
+
+    both = (np.asarray(solved) == 1) & (np.asarray(ok2) == 1)
+    assert both.sum() > B * 3 // 4
+    np.testing.assert_array_equal(np.asarray(iters)[both],
+                                  np.asarray(it2)[both])
+    np.testing.assert_allclose(np.asarray(rho)[both],
+                               np.asarray(carry.rho)[both], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,320 @@
+"""Pallas fused condensed solver with PER-LANE adaptive rho.
+
+The XLA implementation (ops/condensed.solve_condensed_adaptive) expresses the
+reference's Taylor cache updates (rho_benchmark.cpp:199-212) as Taylor-expanded
+iteration maps; this kernel keeps that whole iteration VMEM-resident:
+
+* forward map: one stacked matmul over the (order+1) T1 Taylor blocks,
+  combined per lane by Horner in drho = rho_lane - rho0;
+* backward map: one stacked matmul over the 4 exactly-bilinear T2 blocks
+  (reduced [znew - y; vnew - g; 1] contraction), combined with the pre-update
+  drho (cost fold) and post-update drho (gain K);
+* rho prediction: every 5th iteration (reference gate i > 0 and i % 5 == 0,
+  admm.cpp:156) the OSQP-form residuals (rho_benchmark.cpp:146-197) are
+  evaluated per lane — the per-stage dynamics and A^T y terms are
+  contractions with host-built block matrices (Dx, Du, Gx, Gu), the cost
+  terms are stacked-diagonal scalings, and the terminal Pinf(rho) row uses
+  the Taylor pair (P0, dP).
+
+Scope: box constraints, shared problem, float32, fresh solves — the
+adaptive-rho throughput configuration (e.g. the quadrotor sweep).
+Semantics match solve_condensed_adaptive per lane.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..condensed import CondensedTaylorMaps
+
+RHO_INTERVAL = 5  # admm.cpp:156
+EPS = 1e-10       # rho_benchmark.cpp:183
+
+
+def _residual_maps(A, B, N):
+    """Host-side block matrices for the stacked OSQP residuals:
+    dyn = Dx @ x + Du @ u   ((N-1)*nx rows: A x_i + B u_i - x_{i+1});
+    aty_states = Gx @ g     (sx rows: A^T g_{j+1} [j<N-1] - g_j [j>=1]);
+    aty_inputs = Gu @ g     (su rows: B^T g_{j+1})."""
+    nx, nu = B.shape
+    su, sx = (N - 1) * nu, N * nx
+    Dx = np.zeros(((N - 1) * nx, sx), np.float32)
+    Du = np.zeros(((N - 1) * nx, su), np.float32)
+    Gx = np.zeros((sx, sx), np.float32)
+    Gu = np.zeros((su, sx), np.float32)
+    for i in range(N - 1):
+        r = slice(i * nx, (i + 1) * nx)
+        Dx[r, i * nx:(i + 1) * nx] = A
+        Dx[r, (i + 1) * nx:(i + 2) * nx] = -np.eye(nx)
+        Du[r, i * nu:(i + 1) * nu] = B
+        # states: x_j gets A^T g_{j+1} (j <= N-2) and -g_j (j >= 1)
+        Gx[r, (i + 1) * nx:(i + 2) * nx] = A.T
+        Gx[(i + 1) * nx:(i + 2) * nx, (i + 1) * nx:(i + 2) * nx] -= np.eye(nx)
+        Gu[i * nu:(i + 1) * nu, (i + 1) * nx:(i + 2) * nx] = B.T
+    return Dx, Du, Gx, Gu
+
+
+def make_condensed_adaptive_fused_solver(
+        A, B, Qdiag, Rdiag, Pinf, dPinf, N, *,
+        batch_tile: int = 2048, max_iter: int = 100,
+        abs_pri_tol: float = 1e-3, abs_dua_tol: float = 1e-3,
+        en_state_bound: bool = False, en_input_bound: bool = True,
+        relaxation_alpha: float = 1.0,
+        adaptive_rho_min: float = 1.0, adaptive_rho_max: float = 100.0,
+        adaptive_rho_clipping: bool = True,
+        precision=jax.lax.Precision.HIGHEST,
+        interpret: bool = False):
+    """Build the jitted adaptive-rho fused solver.
+
+    A, B, Qdiag, Rdiag (rho-folded diagonals), Pinf, dPinf: host numpy
+    problem/cache data (shared across the batch).  Returns
+    solve_fn(tmaps: CondensedTaylorMaps, u_min, u_max, x_min, x_max, x0s) ->
+    (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,), rho (B,)).
+
+    VMEM note: the stacked Taylor intermediates scale as
+    (order+2)*(su+sx)*batch_tile floats of scoped VMEM; for larger models
+    (nx ~ 12, N ~ 20) use batch_tile <= 512 to stay under the ~16 MiB
+    scoped-vmem stack limit (cartpole-sized problems run at 2048).
+    """
+    A = np.asarray(A, np.float32)
+    B = np.asarray(B, np.float32)
+    nx, nu = B.shape
+    Bt = batch_tile
+    su, sx = (N - 1) * nu, N * nx
+    in1 = su + nx + 1
+    in2r = su + sx + 1
+    alpha = relaxation_alpha
+    assert max_iter % RHO_INTERVAL == 0, \
+        "max_iter must be a multiple of the rho update interval (5)"
+    Dx_m, Du_m, Gx_m, Gu_m = _residual_maps(A, B, N)
+    qd_m = np.asarray(Qdiag, np.float32).reshape(-1)
+    rd_m = np.asarray(Rdiag, np.float32).reshape(-1)
+    qstk = np.tile(qd_m, N).reshape(sx, 1)
+    rstk = np.tile(rd_m, N - 1).reshape(su, 1)
+    P0_m = np.asarray(Pinf, np.float32)
+    dP_m = np.asarray(dPinf, np.float32)
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def kernel(T1s_r, T2s_r, rho0_r, umin_r, umax_r, xmin_r, xmax_r,
+               Dx_r, Du_r, Gx_r, Gu_r, qd_r, rd_r, P0_r, dP_r, x0_r,
+               xout_r, uout_r, iters_r, solved_r, rho_r,
+               y_s, g_s, vec1_s, vec2_s, rho_s, conv_s):
+        T1s = T1s_r[...]          # ((o+1)(su+sx), in1)
+        T2s = T2s_r[...]          # (4 su, in2r)
+        order = T1s.shape[0] // (su + sx) - 1
+        rho0 = rho0_r[0, 0]
+
+        vec1_s[...] = jnp.zeros_like(vec1_s)
+        vec1_s[su:su + nx] = x0_r[...]
+        vec1_s[in1 - 1:in1, :] = jnp.ones_like(vec1_s[in1 - 1:in1, :])
+        vec2_s[...] = jnp.zeros_like(vec2_s)
+        vec2_s[in2r - 1:in2r, :] = jnp.ones_like(vec2_s[in2r - 1:in2r, :])
+        y_s[...] = jnp.zeros_like(y_s)
+        g_s[...] = jnp.zeros_like(g_s)
+        xout_r[...] = jnp.zeros_like(xout_r)
+        uout_r[...] = jnp.zeros_like(uout_r)
+        rho_s[...] = jnp.full_like(rho_s, rho0)
+        conv_s[...] = jnp.zeros_like(conv_s)
+        iters_r[...] = jnp.full_like(iters_r, max_iter)
+        solved_r[...] = jnp.zeros_like(solved_r)
+
+        pri_tol = jnp.float32(abs_pri_tol)
+        dua_tol = jnp.float32(abs_dua_tol)
+        eps = jnp.float32(EPS)
+
+        def predict(x, u, znew, vnew, y, g, drho, rho_b):
+            """Per-lane OSQP residuals -> predicted rho
+            (ops/condensed._osqp_residuals_stacked + ops/rho.predict_rho)."""
+            def amax(t):
+                return jnp.max(jnp.abs(t), axis=0)[None, :]  # (1, Bt)
+
+            dyn = _dot(Dx_r[...], x) + _dot(Du_r[...], u)
+            v_tail = vnew[nx:]
+            pri_res = jnp.maximum(amax(u - znew), amax(dyn - v_tail))
+            pri_norm = jnp.maximum(jnp.maximum(amax(u), amax(dyn)),
+                                   jnp.maximum(amax(znew), amax(v_tail)))
+
+            qd = qd_r[...]
+            rd = rd_r[...]
+            xN = x[sx - nx:]
+            PxN = _dot(P0_r[...], xN) + drho * _dot(dP_r[...], xN)
+            px_head = x[:sx - nx] * qd[:sx - nx]
+            q_states = x * qd
+            q_inputs = u * rd
+            aty_s = _dot(Gx_r[...], g)
+            aty_u = _dot(Gu_r[...], g) + y
+
+            r_ds_head = px_head + q_states[:sx - nx] + aty_s[:sx - nx]
+            r_ds_term = PxN + q_states[sx - nx:] + aty_s[sx - nx:]
+            r_di = q_inputs + u * rd + aty_u
+            dual_res = jnp.maximum(jnp.maximum(amax(r_ds_head),
+                                               amax(r_ds_term)), amax(r_di))
+            px_inf = jnp.maximum(jnp.maximum(amax(px_head), amax(PxN)),
+                                 amax(u * rd))
+            aty_inf = jnp.maximum(amax(aty_s), amax(aty_u))
+            q_inf = jnp.maximum(amax(q_states), amax(q_inputs))
+            dual_norm = jnp.maximum(jnp.maximum(px_inf, aty_inf), q_inf)
+
+            normalized_pri = pri_res / (pri_norm + eps)
+            normalized_dual = dual_res / (dual_norm + eps)
+            new_rho = rho_b * jnp.sqrt(normalized_pri
+                                       / (normalized_dual + eps))
+            if adaptive_rho_clipping:
+                new_rho = jnp.clip(new_rho, jnp.float32(adaptive_rho_min),
+                                   jnp.float32(adaptive_rho_max))
+            return new_rho
+
+        def one_iter(i, update_slot):
+            rho_b = rho_s[...]                       # (1, Bt)
+            drho = rho_b - rho0
+
+            R1 = _dot(T1s, vec1_s[...])
+            ux = R1[order * (su + sx):]
+            for k in range(order - 1, -1, -1):
+                ux = ux * drho + R1[k * (su + sx):(k + 1) * (su + sx)]
+            u = ux[:su]
+            x = ux[su:]
+
+            z = uout_r[...]
+            v = xout_r[...]
+            if alpha != 1.0:
+                u_hat = alpha * u + (1.0 - alpha) * z
+                x_hat = alpha * x + (1.0 - alpha) * v
+            else:
+                u_hat, x_hat = u, x
+            znew = u_hat + y_s[...]
+            if en_input_bound:
+                znew = jnp.minimum(umax_r[...],
+                                   jnp.maximum(umin_r[...], znew))
+            vnew = x_hat + g_s[...]
+            if en_state_bound:
+                vnew = jnp.minimum(xmax_r[...],
+                                   jnp.maximum(xmin_r[...], vnew))
+
+            prev = conv_s[...] != 0
+            y_new = jnp.where(prev, y_s[...], y_s[...] + u_hat - znew)
+            g_new = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
+            y_s[...] = y_new
+            g_s[...] = g_new
+
+            if update_slot:
+                # reference gate: i > 0 and i % 5 == 0; converged lanes
+                # keep their rho
+                pred = predict(x, u, znew, vnew, y_new, g_new, drho, rho_b)
+                do = jnp.logical_and(i > 0, jnp.logical_not(prev))
+                rho_new = jnp.where(do, pred, rho_b)
+            else:
+                rho_new = rho_b
+            drho_new = rho_new - rho0
+
+            # termination: duals scale by the POST-update rho
+            ps = jnp.max(jnp.abs(x - vnew), axis=0)[None, :]
+            pi = jnp.max(jnp.abs(u - znew), axis=0)[None, :]
+            ds = jnp.max(jnp.abs(v - vnew), axis=0)[None, :] * rho_new
+            di = jnp.max(jnp.abs(z - znew), axis=0)[None, :] * rho_new
+            ok = ((ps < pri_tol) & (pi < pri_tol)
+                  & (ds < dua_tol) & (di < dua_tol))
+            newly = jnp.logical_and(ok, jnp.logical_not(prev))
+
+            iters_r[...] = jnp.where(newly, i + 1, iters_r[...])
+            solved_r[...] = jnp.where(newly, 1, solved_r[...])
+            conv_all = jnp.logical_or(prev, newly)
+            conv_s[...] = conv_all.astype(jnp.int32)
+
+            xout_r[...] = jnp.where(prev, v, vnew)
+            uout_r[...] = jnp.where(prev, z, znew)
+
+            # backward: cost fold at PRE-update rho, gain K at POST-update
+            vec2_s[:su] = znew - y_new
+            vec2_s[su:su + sx] = vnew - g_new
+            R2 = _dot(T2s, vec2_s[...])
+            d_new = (R2[:su] + drho * R2[su:2 * su]
+                     + drho_new * R2[2 * su:3 * su]
+                     + (drho * drho_new) * R2[3 * su:])
+            vec1_s[:su] = jnp.where(conv_all, vec1_s[:su], d_new)
+            rho_s[...] = rho_new
+
+            return jnp.all(conv_all)
+
+        def body(carry):
+            i, _ = carry
+            one_iter(i, True)  # update fires only when i > 0 (traced)
+            done = jnp.bool_(False)
+            for k in range(1, RHO_INTERVAL):
+                done = one_iter(i + k, False)
+            return (i + RHO_INTERVAL, done)
+
+        def cond(carry):
+            i, done = carry
+            return jnp.logical_and(i < max_iter, jnp.logical_not(done))
+
+        lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+        rho_r[...] = rho_s[...]
+
+    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def tile_spec(rows):
+        return pl.BlockSpec((rows, Bt), lambda t: (0, t),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def solve_fn(tmaps: CondensedTaylorMaps, u_min, u_max, x_min, x_max,
+                 x0s):
+        Btot = x0s.shape[0]
+        assert Btot % Bt == 0, f"batch {Btot} not a multiple of tile {Bt}"
+        f32 = jnp.float32
+        order = tmaps.T1s.shape[0] - 1
+        T1stk = tmaps.T1s.astype(f32).reshape((order + 1) * (su + sx), in1)
+        T2s = tmaps.T2s.astype(f32)
+        T2stk = jnp.concatenate([T2s[:, :, :su + sx], T2s[:, :, -1:]],
+                                axis=2).reshape(4 * su, in2r)
+        args = [
+            T1stk, T2stk, tmaps.rho0.astype(f32)[None, None],
+            u_min.reshape(su, 1).astype(f32), u_max.reshape(su, 1).astype(f32),
+            x_min.reshape(sx, 1).astype(f32), x_max.reshape(sx, 1).astype(f32),
+            jnp.asarray(Dx_m), jnp.asarray(Du_m), jnp.asarray(Gx_m),
+            jnp.asarray(Gu_m), jnp.asarray(qstk), jnp.asarray(rstk),
+            jnp.asarray(P0_m), jnp.asarray(dP_m),
+            x0s.T.astype(f32),
+        ]
+        in_specs = [shared] * 15 + [tile_spec(nx)]
+        out_specs = (tile_spec(sx), tile_spec(su), tile_spec(1),
+                     tile_spec(1), tile_spec(1))
+        out_shape = (
+            jax.ShapeDtypeStruct((sx, Btot), f32),
+            jax.ShapeDtypeStruct((su, Btot), f32),
+            jax.ShapeDtypeStruct((1, Btot), jnp.int32),
+            jax.ShapeDtypeStruct((1, Btot), jnp.int32),
+            jax.ShapeDtypeStruct((1, Btot), f32),
+        )
+        scratch_shapes = [
+            pltpu.VMEM((su, Bt), f32),    # y
+            pltpu.VMEM((sx, Bt), f32),    # g
+            pltpu.VMEM((in1, Bt), f32),   # vec1 = [d; x0; 1]
+            pltpu.VMEM((in2r, Bt), f32),  # vec2 = [znew - y; vnew - g; 1]
+            pltpu.VMEM((1, Bt), f32),     # rho
+            pltpu.VMEM((1, Bt), jnp.int32),  # conv
+        ]
+        vs, zs, iters, solved, rho = pl.pallas_call(
+            kernel,
+            grid=(Btot // Bt,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(*args)
+        Bn = Btot
+        return (vs.T.reshape(Bn, N, nx), zs.T.reshape(Bn, N - 1, nu),
+                iters[0], solved[0], rho[0])
+
+    return solve_fn
