@@ -102,15 +102,22 @@ def test_fused_loop_matches_condensed_loop():
                      jnp.asarray(np.diag(cartpole.R_DIAG), dtype), 1.0, 20,
                      u_min=-5.0, u_max=5.0)
     c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
-    s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True)
-    x0s = jnp.asarray([[0.0, 0.0, 0.1, 0.0], [0.4, -0.1, -0.05, 0.0]], dtype)
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-0.4, 0.4, size=(16, 4)), dtype)
     n_steps = 20
-    res_f = run_mpc_loop_fused(p, c, s, x0s, n_steps, batch_tile=2)
-    res_c = run_mpc_loop_condensed(p, c, s, x0s, n_steps)
-    assert np.asarray(res_f.solved).all() and np.asarray(res_c.solved).all()
-    np.testing.assert_array_equal(np.asarray(res_f.iters),
-                                  np.asarray(res_c.iters))
-    np.testing.assert_allclose(np.asarray(res_f.us), np.asarray(res_c.us),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(res_f.xs), np.asarray(res_c.xs),
-                               atol=1e-5)
+    # alpha=1.7 makes the carry semantics observable: a lane that converged
+    # at step k feeds u_hat = a*u + (1-a)*z at step k+1, so the carry z must
+    # be the pre-convergence iterate (CondensedCarry), not the latched
+    # solution
+    for alpha in (1.0, 1.7):
+        s = Settings(max_iter=200, en_state_bound=False, en_input_bound=True,
+                     relaxation_alpha=alpha)
+        res_f = run_mpc_loop_fused(p, c, s, x0s, n_steps, batch_tile=16)
+        res_c = run_mpc_loop_condensed(p, c, s, x0s, n_steps)
+        assert np.asarray(res_f.solved).all() and np.asarray(res_c.solved).all()
+        np.testing.assert_array_equal(np.asarray(res_f.iters),
+                                      np.asarray(res_c.iters))
+        np.testing.assert_allclose(np.asarray(res_f.us), np.asarray(res_c.us),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res_f.xs), np.asarray(res_c.xs),
+                                   atol=1e-5)

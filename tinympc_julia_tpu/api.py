@@ -410,6 +410,8 @@ class TinyMPCSolver:
                 dPinf_drho=jnp.asarray(np.asarray(dP, float), dt),
                 dC1_drho=jnp.asarray(np.asarray(dC1, float), dt),
                 dC2_drho=jnp.asarray(np.asarray(dC2, float), dt))
+            # the Taylor-expanded condensed maps bake dK/dP — rebuild them
+            self._condensed_taylor_maps = None
         from .codegen import emitter
         emitter.codegen(self, output_dir, verbose=verbose)
         return 0

@@ -18,7 +18,9 @@ iteration maps; this kernel keeps that whole iteration VMEM-resident:
 
 Scope: box constraints, shared problem, float32, fresh solves — the
 adaptive-rho throughput configuration (e.g. the quadrotor sweep).
-Semantics match solve_condensed_adaptive per lane.
+Semantics match solve_condensed_adaptive per lane with
+Settings.check_termination == 1 (the default): this kernel checks residuals
+every iteration; other check intervals are not supported here.
 """
 from __future__ import annotations
 
@@ -30,9 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..condensed import CondensedTaylorMaps
+from ..rho import EPS
+from .condensed_kernel import _make_dot
 
 RHO_INTERVAL = 5  # admm.cpp:156
-EPS = 1e-10       # rho_benchmark.cpp:183
 
 
 def _residual_maps(A, B, N):
@@ -97,11 +100,7 @@ def make_condensed_adaptive_fused_solver(
     rstk = np.tile(rd_m, N - 1).reshape(su, 1)
     P0_m = np.asarray(Pinf, np.float32)
     dP_m = np.asarray(dPinf, np.float32)
-
-    def _dot(a, b):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+    _dot = _make_dot(precision)
 
     def kernel(T1s_r, T2s_r, rho0_r, umin_r, umax_r, xmin_r, xmax_r,
                Dx_r, Du_r, Gx_r, Gu_r, qd_r, rd_r, P0_r, dP_r, x0_r,

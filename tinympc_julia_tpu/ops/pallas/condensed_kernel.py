@@ -120,8 +120,10 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
     in2r = su + sx + 1
     alpha = relaxation_alpha
     ct = check_termination
-    assert ct >= 1 and max_iter % ct == 0, \
-        "max_iter must be a multiple of check_termination"
+    if ct < 1 or max_iter % ct != 0:
+        raise ValueError(
+            "check_termination must be >= 1 and divide max_iter on the fused "
+            f"kernel (got check_termination={ct}, max_iter={max_iter})")
     _dot = _make_dot(precision)
 
     # host-built constraint selector matrices (static inputs)
@@ -182,7 +184,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             d0_r, y0_r, g0_r, v0_r, z0_r = (next(it) for _ in range(5))
         xout_r, uout_r, iters_r, solved_r = (next(it) for _ in range(4))
         if carry_out:
-            dco_r, yco_r, gco_r = (next(it) for _ in range(3))
+            dco_r, yco_r, gco_r, vco_r, zco_r = (next(it) for _ in range(5))
         y_s, g_s, vec1_s, vec2_s, conv_s = (next(it) for _ in range(5))
 
         T1 = T1_r[...]
@@ -204,6 +206,13 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             g_s[...] = jnp.zeros_like(g_s)
             xout_r[...] = jnp.zeros_like(xout_r)
             uout_r[...] = jnp.zeros_like(uout_r)
+        if carry_out:
+            # the v/z CARRY freezes at the pre-convergence iterate (the
+            # reference returns before the slack copy, admm.cpp:181-199),
+            # while the v/z OUTPUT latches the converging vnew/znew — two
+            # different freeze masks, so the carry gets its own buffers
+            vco_r[...] = xout_r[...]
+            zco_r[...] = uout_r[...]
         conv_s[...] = jnp.zeros_like(conv_s)
         iters_r[...] = jnp.full_like(iters_r, max_iter)
         solved_r[...] = jnp.zeros_like(solved_r)
@@ -272,6 +281,11 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             # freeze — so the outputs are already correct at loop exit.
             xout_r[...] = jnp.where(prev, v, vnew)
             uout_r[...] = jnp.where(prev, z, znew)
+            if carry_out:
+                # carry v/z do NOT advance on the converging iteration
+                # (conv_all mask, matching CondensedCarry)
+                vco_r[...] = jnp.where(conv_all, vco_r[...], vnew)
+                zco_r[...] = jnp.where(conv_all, zco_r[...], znew)
 
             vec2_s[:su] = znew - y_s[...]
             vec2_s[su:su + sx] = vnew - g_s[...]
@@ -345,10 +359,13 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             jax.ShapeDtypeStruct((1, Btot), jnp.int32),
         ]
         if carry_out:
-            out_specs += [tile_spec(su), tile_spec(su), tile_spec(sx)]
+            out_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+                          tile_spec(sx), tile_spec(su)]
             out_shape += [jax.ShapeDtypeStruct((su, Btot), f32),
                           jax.ShapeDtypeStruct((su, Btot), f32),
-                          jax.ShapeDtypeStruct((sx, Btot), f32)]
+                          jax.ShapeDtypeStruct((sx, Btot), f32),
+                          jax.ShapeDtypeStruct((sx, Btot), f32),
+                          jax.ShapeDtypeStruct((su, Btot), f32)]
         scratch_shapes = [
             pltpu.VMEM((su, Bt), f32),    # y
             pltpu.VMEM((sx, Bt), f32),    # g
@@ -370,8 +387,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         res = (vs.T.reshape(B, N, nx), zs.T.reshape(B, N - 1, nu),
                iters[0], solved[0])
         if carry_out:
-            d_f, y_f, g_f = out[4], out[5], out[6]
-            return res + ((d_f, y_f, g_f, vs, zs),)
+            return res + (tuple(out[4:9]),)  # (d, y, g, v, z) carry
         return res
 
     return solve_fn

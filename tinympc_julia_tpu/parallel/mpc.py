@@ -138,6 +138,14 @@ def make_fused_mpc_loop(problem: Problem, cache: Cache, settings: Settings,
             or settings.en_input_linear or settings.en_state_linear):
         raise ValueError("fused MPC loop supports box constraints and fixed "
                          "rho; use run_mpc_loop / run_mpc_loop_condensed")
+    if settings.check_termination < 1:
+        raise ValueError(
+            "check_termination=0 (never check) is not supported by the fused "
+            "loop; use run_mpc_loop_condensed")
+    if settings.max_iter % settings.check_termination != 0:
+        raise ValueError(
+            "the fused loop needs check_termination to divide max_iter "
+            f"(got {settings.check_termination} / {settings.max_iter})")
     nx, nu, N = problem.nx, problem.nu, problem.N
     su, sx = (N - 1) * nu, N * nx
     if interpret is None:
@@ -150,7 +158,7 @@ def make_fused_mpc_loop(problem: Problem, cache: Cache, settings: Settings,
         en_state_bound=settings.en_state_bound,
         en_input_bound=settings.en_input_bound,
         relaxation_alpha=settings.relaxation_alpha,
-        check_termination=max(settings.check_termination, 1),
+        check_termination=settings.check_termination,
         warm_start=True, carry_out=True, interpret=interpret)
 
     f32 = jnp.float32
