@@ -9,6 +9,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tinympc_julia_tpu import (Settings, init_state, make_problem,
                                precompute_cache)
 from tinympc_julia_tpu.models import quadrotor

@@ -3,6 +3,11 @@
 analog of /root/reference/examples/cartpole_example_reference_constrained.jl."""
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tinympc_julia_tpu.models import cartpole
 
 

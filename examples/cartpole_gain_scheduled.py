@@ -4,6 +4,11 @@
 which re-calls `setup` with re-tuned Q mid-loop; plotting optional)."""
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tinympc_julia_tpu import TinyMPCSolver
 from tinympc_julia_tpu.models import cartpole
 

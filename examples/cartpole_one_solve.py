@@ -3,6 +3,11 @@
 /root/reference/examples/cartpole_example_one_solve.jl)."""
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tinympc_julia_tpu.models import cartpole
 
 

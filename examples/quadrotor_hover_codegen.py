@@ -6,6 +6,11 @@ import sys
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tinympc_julia_tpu.models import quadrotor
 
 ENABLE_ADAPTIVE_RHO = True

@@ -3,6 +3,11 @@
 (analog of /root/reference/examples/rocket_landing_constraints.jl)."""
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tinympc_julia_tpu.models import rocket
 
 
