@@ -60,6 +60,7 @@ class TinyMPCSolver:
         self._user = {}
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._fused_solvers = {}
 
     # -- setup --------------------------------------------------------------
 
@@ -120,6 +121,7 @@ class TinyMPCSolver:
         self.solution = None
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._fused_solvers = {}
         self.is_setup = True
         if verbose:
             print(f"TinyMPC solver setup successful (nx={nx}, nu={nu}, N={N})")
@@ -150,6 +152,7 @@ class TinyMPCSolver:
         self.problem = self.problem.replace(Xref=jnp.asarray(x_ref.T, self.dtype))
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._fused_solvers = {}
         return 0
 
     def set_u_ref(self, u_ref, *, verbose=False):
@@ -161,6 +164,7 @@ class TinyMPCSolver:
         self.problem = self.problem.replace(Uref=jnp.asarray(u_ref.T, self.dtype))
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._fused_solvers = {}
         return 0
 
     # -- constraints --------------------------------------------------------
@@ -273,6 +277,7 @@ class TinyMPCSolver:
             AmBKt=jnp.asarray(np.asarray(AmBKt, float), dt))
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._fused_solvers = {}
         return 0
 
     # -- solve ---------------------------------------------------------------
@@ -306,6 +311,9 @@ class TinyMPCSolver:
           * "standard"  — the masked batched ADMM loop (any constraints,
             warm-startable; parallel/batch.py)
           * "condensed" — condensed-iteration fast path (ops/condensed.py)
+          * "fused"     — the VMEM-resident Pallas kernel (ops/pallas;
+            float32, fixed rho, full box/linear/SOC constraint stack;
+            fastest on TPU — the batch is padded to the kernel tile)
           * "auto"      — condensed when supported (always: the condensed
             path covers the full constraint stack, and adaptive-rho rides
             the Taylor-expanded maps, ops/condensed.py)
@@ -317,6 +325,8 @@ class TinyMPCSolver:
         self._require_setup()
         import jax.numpy as jnp
         x0s = jnp.asarray(np.asarray(x0s, float), self.dtype)
+        if method == "fused":
+            return self._solve_batch_fused(x0s)
         if method in ("auto", "condensed"):
             if self.settings.adaptive_rho:
                 # adaptive-rho rides the Taylor-expanded condensed maps
@@ -351,6 +361,104 @@ class TinyMPCSolver:
             raise ValueError(f"unknown method: {method}")
         return (np.asarray(xs), np.asarray(us), np.asarray(iters),
                 np.asarray(solved))
+
+    def _solve_batch_fused(self, x0s):
+        """solve_batch(method="fused"): the VMEM-resident Pallas kernels.
+
+        Pads the batch up to the kernel tile and slices results back;
+        compiled solvers are cached per (settings, tile) and invalidated with
+        the condensed maps."""
+        s = self.settings
+        p = self.problem
+        ct = s.check_termination
+        if ct < 1 or s.max_iter % ct != 0:
+            raise ValueError(
+                "the fused path needs check_termination >= 1 dividing "
+                f"max_iter (got {ct} / {s.max_iter})")
+        if s.adaptive_rho:
+            if (s.en_input_soc or s.en_state_soc or s.en_input_linear
+                    or s.en_state_linear):
+                raise ValueError("fused adaptive-rho supports box constraints"
+                                 " only; use method='condensed'")
+            if ct != 1:
+                raise ValueError("fused adaptive-rho checks termination every"
+                                 " iteration (check_termination=1)")
+            if s.max_iter % 5 != 0:
+                raise ValueError("fused adaptive-rho needs max_iter divisible"
+                                 " by the rho update interval (5)")
+
+        B = x0s.shape[0]
+        big = (p.nx * p.N + p.nu * (p.N - 1)) > 200
+        Bt = 512 if (big or s.adaptive_rho) else 2048
+        while Bt > B and Bt > 8:
+            Bt //= 2
+        Btot = ((B + Bt - 1) // Bt) * Bt
+        x0s_p = x0s if Btot == B else jnp.concatenate(
+            [x0s, jnp.zeros((Btot - B, p.nx), x0s.dtype)], axis=0)
+        interpret = jax.default_backend() != "tpu"
+        key = (s, Bt, interpret)
+        fn = self._fused_solvers.get(key)
+
+        if s.adaptive_rho:
+            from .ops.condensed import build_condensed_taylor
+            from .ops.pallas.adaptive_kernel import (
+                make_condensed_adaptive_fused_solver)
+            if self._condensed_taylor_maps is None:
+                self._condensed_taylor_maps = build_condensed_taylor(
+                    p, self.cache)
+            if fn is None:
+                fn = make_condensed_adaptive_fused_solver(
+                    np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q),
+                    np.asarray(p.R), np.asarray(self.cache.Pinf),
+                    np.asarray(self.cache.dPinf_drho), p.N,
+                    batch_tile=Bt, max_iter=s.max_iter,
+                    abs_pri_tol=float(s.abs_pri_tol),
+                    abs_dua_tol=float(s.abs_dua_tol),
+                    en_state_bound=s.en_state_bound,
+                    en_input_bound=s.en_input_bound,
+                    relaxation_alpha=s.relaxation_alpha,
+                    adaptive_rho_min=float(s.adaptive_rho_min),
+                    adaptive_rho_max=float(s.adaptive_rho_max),
+                    adaptive_rho_clipping=s.adaptive_rho_enable_clipping,
+                    interpret=interpret)
+                self._fused_solvers[key] = fn
+            xs, us, iters, solved, _rho = fn(
+                self._condensed_taylor_maps, p.u_min, p.u_max, p.x_min,
+                p.x_max, x0s_p)
+        else:
+            from .ops.condensed import build_condensed
+            from .ops.pallas.condensed_kernel import (
+                make_condensed_fused_solver)
+            if self._condensed_maps is None:
+                self._condensed_maps = build_condensed(p, self.cache)
+            if fn is None:
+                def cone_spec(cones):
+                    mus = np.asarray(cones.mus, float)
+                    return tuple(
+                        (int(st), int(dm), float(mu)) for st, dm, mu in
+                        zip(cones.starts, cones.dims, mus))
+
+                fn = make_condensed_fused_solver(
+                    p.nx, p.nu, p.N, batch_tile=Bt, max_iter=s.max_iter,
+                    abs_pri_tol=float(s.abs_pri_tol),
+                    abs_dua_tol=float(s.abs_dua_tol),
+                    en_state_bound=s.en_state_bound,
+                    en_input_bound=s.en_input_bound,
+                    relaxation_alpha=s.relaxation_alpha,
+                    check_termination=ct,
+                    soc_u=cone_spec(p.cones_u) if s.en_input_soc else (),
+                    soc_x=cone_spec(p.cones_x) if s.en_state_soc else (),
+                    lin_u=((np.asarray(p.Alin_u), np.asarray(p.blin_u))
+                           if s.en_input_linear else None),
+                    lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
+                           if s.en_state_linear else None),
+                    interpret=interpret)
+                self._fused_solvers[key] = fn
+            xs, us, iters, solved = fn(
+                self._condensed_maps, self.cache.rho, p.u_min, p.u_max,
+                p.x_min, p.x_max, x0s_p)
+        return (np.asarray(xs)[:B], np.asarray(us)[:B],
+                np.asarray(iters)[:B], np.asarray(solved)[:B])
 
     # -- sensitivity ---------------------------------------------------------
 
@@ -412,6 +520,7 @@ class TinyMPCSolver:
                 dC2_drho=jnp.asarray(np.asarray(dC2, float), dt))
             # the Taylor-expanded condensed maps bake dK/dP — rebuild them
             self._condensed_taylor_maps = None
+            self._fused_solvers = {}
         from .codegen import emitter
         emitter.codegen(self, output_dir, verbose=verbose)
         return 0
