@@ -54,6 +54,44 @@ def test_max_iter_one_no_crash():
     assert int(s.solution.iter) == 1
 
 
+def test_tolerance_change_does_not_recompile():
+    """Tolerances/rho-limits are traced Settings leaves (types.py contract):
+    changing them re-runs the same compiled program — no recompilation —
+    while flipping a static flag does recompile."""
+    from tinympc_julia_tpu.ops import admm
+
+    s = cartpole.make_solver(max_iter=200)
+    s.set_x0([0.5, 0.0, 0.0, 0.0])
+    assert s.solve() == 0
+    iters_loose = int(s.solution.iter)
+    n_compiles = admm.solve._cache_size()
+
+    s2 = cartpole.make_solver(max_iter=200, abs_pri_tol=1e-7,
+                              abs_dua_tol=1e-7)
+    s2.set_x0([0.5, 0.0, 0.0, 0.0])
+    assert s2.solve() == 0
+    assert admm.solve._cache_size() == n_compiles, \
+        "tolerance change must not trigger recompilation"
+    # the tighter tolerance genuinely took effect (more iterations)
+    assert int(s2.solution.iter) > iters_loose
+
+    # a static-flag change DOES compile a new program
+    s3 = cartpole.make_solver(max_iter=201)
+    s3.set_x0([0.5, 0.0, 0.0, 0.0])
+    assert s3.solve() == 0
+    assert admm.solve._cache_size() == n_compiles + 1
+
+
+def test_update_settings_relaxation_alpha():
+    """relaxation_alpha is settable through update_settings (framework
+    extension; default 1.0 = reference behavior)."""
+    s = cartpole.make_solver(max_iter=300)
+    s.update_settings(relaxation_alpha=1.6)
+    assert s.settings.relaxation_alpha == 1.6
+    s.set_x0([0.5, 0.0, 0.0, 0.0])
+    assert s.solve() == 0
+
+
 def test_check_termination_zero_disables():
     """check_termination=0 runs exactly max_iter iterations (the reference
     would modulo-by-zero; this framework defines 0 = disabled)."""

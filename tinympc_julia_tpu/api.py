@@ -252,6 +252,7 @@ class TinyMPCSolver:
             en_state_soc=bool, en_input_soc=bool, en_state_linear=bool,
             en_input_linear=bool, adaptive_rho=bool, adaptive_rho_min=float,
             adaptive_rho_max=float, adaptive_rho_enable_clipping=bool,
+            relaxation_alpha=float,  # framework extension (Settings docstring)
         )
         kwargs.pop("verbose", None)
         # Julia alias used in `setup`

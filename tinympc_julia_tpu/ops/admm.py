@@ -282,7 +282,7 @@ def solve_impl(problem: Problem, cache: Cache, settings: Settings,
         return finalize(carry)
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "horizon_parallel"))
+@functools.partial(jax.jit, static_argnames=("horizon_parallel",))
 def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
           *, horizon_parallel: bool = False
           ) -> Tuple[State, Cache, Solution]:
@@ -290,10 +290,10 @@ def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
     Solution; callers persist state/cache for warm starts (the reference's
     singleton workspace persistence, SURVEY.md §5.4).
 
-    Note: `settings` is static — flags/max_iter select compiled control flow.
-    Tolerances inside Settings are Python floats here; they are baked into the
-    compiled program (recompile on change, matching how often the reference
-    re-runs setup).
+    Note: `settings` is a pytree argument whose flags/loop bounds are static
+    metadata (they select compiled control flow and recompile on change) while
+    tolerances and rho limits are traced leaves — changing them re-runs the
+    same compiled program (types.py contract).
     """
     return solve_impl(problem, cache, settings, state,
                       horizon_parallel=horizon_parallel)

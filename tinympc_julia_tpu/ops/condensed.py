@@ -42,9 +42,15 @@ class CondensedMaps(NamedTuple):
     Shapes (su = (N-1)*nu, sx = N*nx):
       T1:  (su + sx, su + nx + 1)        [d; x0; 1] -> [u; x]
       T2:  (su, su + sx + su + sx + 1)   [znew; vnew; y'; g'; 1] -> d'
+      T12: (su + sx, su + sx + 1)        [znew - y; vnew - g; 1] -> [u; x]
+           minus the x0/const rollout contribution — the ITERATION-FUSED map
+           T1[:, :su] @ T2r (T2r = reduced-dual T2), precomputed in float64 on
+           host so the fused Pallas kernel runs ONE matmul per iteration
+           instead of the T1/T2 pair.
     """
     T1: jax.Array
     T2: jax.Array
+    T12: jax.Array
 
 
 def _t1_numpy(A, B, f, K, N):
@@ -174,8 +180,16 @@ def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
     T1 = _t1_numpy(A, B, f, K, N)
     T2 = _t2_numpy(B, Qd, Rd, Xref, Uref, K, Quu, Am, Pinf, rho, N)
 
+    # Iteration-fused map for the Pallas kernel: substitute the backward map
+    # into the next forward map.  su/sx/nu layout as in the class docstring.
+    nx, nu = B.shape
+    su, sx = (N - 1) * nu, N * nx
+    T2r = np.concatenate([T2[:, :su + sx], T2[:, -1:]], axis=1)
+    T12 = T1[:, :su] @ T2r
+
     dtype = problem.A.dtype
-    return CondensedMaps(T1=jnp.asarray(T1, dtype), T2=jnp.asarray(T2, dtype))
+    return CondensedMaps(T1=jnp.asarray(T1, dtype), T2=jnp.asarray(T2, dtype),
+                         T12=jnp.asarray(T12, dtype))
 
 
 def _t1_taylor_numpy(A, B, f, K0, dK, N, order):
@@ -579,8 +593,8 @@ def ref_backward_const(problem: Problem, cache: Cache, Xref=None, Uref=None):
     return d.reshape(-1)                           # (su,)
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _solve_condensed(problem, cache, maps, x0s, warm, *, settings):
+@jax.jit
+def _solve_condensed(problem, cache, maps, x0s, warm, settings):
     return _solve_condensed_impl(problem, cache, maps, settings, x0s, warm)
 
 
@@ -594,7 +608,7 @@ def solve_condensed(problem: Problem, cache: Cache, settings: Settings, x0s,
     ``return_carry=True`` (pass it back as ``warm=`` for the next solve)."""
     if maps is None:
         maps = build_condensed(problem, cache)
-    out = _solve_condensed(problem, cache, maps, x0s, warm, settings=settings)
+    out = _solve_condensed(problem, cache, maps, x0s, warm, settings)
     return out if return_carry else out[:4]
 
 
@@ -768,8 +782,8 @@ def _solve_condensed_adaptive_impl(problem: Problem, cache: Cache,
     return xs, us, out_it, out_solved, carry
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _solve_condensed_adaptive(problem, cache, maps, x0s, warm, *, settings):
+@jax.jit
+def _solve_condensed_adaptive(problem, cache, maps, x0s, warm, settings):
     return _solve_condensed_adaptive_impl(problem, cache, maps, settings,
                                           x0s, warm)
 
@@ -785,6 +799,5 @@ def solve_condensed_adaptive(problem: Problem, cache: Cache,
     the carry (with per-lane final rho) when ``return_carry=True``."""
     if maps is None:
         maps = build_condensed_taylor(problem, cache, order=order)
-    out = _solve_condensed_adaptive(problem, cache, maps, x0s, warm,
-                                    settings=settings)
+    out = _solve_condensed_adaptive(problem, cache, maps, x0s, warm, settings)
     return out if return_carry else out[:4]

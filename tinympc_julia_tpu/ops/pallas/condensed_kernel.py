@@ -1,7 +1,7 @@
 """Pallas fused condensed solver: VMEM-resident condensed ADMM iterations.
 
 Combines the two big wins: the condensed iteration (ops/condensed.py — the
-whole ADMM iteration as two dense MXU matmuls + VPU elementwise, no serial
+whole ADMM iteration as dense MXU matmuls + VPU elementwise, no serial
 horizon chain) and VMEM residency (the XLA while-loop streams the ~10 carry
 arrays through HBM every iteration; here a batch tile's entire carry lives in
 VMEM for the whole solve).
@@ -9,17 +9,27 @@ VMEM for the whole solve).
 Kernel-level optimizations over a direct transcription of ops/condensed.py
 (all exact in exact arithmetic; float-reassociation-level differences only):
 
+* Iteration fusion (v3): substituting the backward map into the next forward
+  map gives ONE matmul per iteration,
+
+      [u; x]_k = T12 @ [znew - y; vnew - g; 1]_{k-1} + (rollout of x0),
+
+  with T12 = T1[:, :su] @ T2r precomputed in float64 on host
+  (CondensedMaps.T12).  The x0/const rollout contribution is computed once at
+  solve start (Tx0 @ x0 + T1c) and lives in VMEM; the per-iteration MXU work
+  halves versus the separate T1/T2 pair (one ~(su+sx)^2 tile pass instead of
+  two padded passes).  The d iterate disappears from the carry entirely — the
+  warm-start carry holds w2 = [znew - y; vnew - g] instead, which makes
+  chained solves bit-exact (a continuation replays the identical matmul).
 * Reduced backward contraction: the duals enter T2 only through
   rho (y - znew) and rho (g - vnew) (update_linear_cost, admm.cpp:75-83), so
   T2's y/g coefficient blocks are exact negations of its z/v blocks and the
-  matmul runs on [znew - y; vnew - g; 1] — contraction su+sx+1 instead of
-  2(su+sx)+1.
+  fused map contracts [znew - y; vnew - g; 1].
 * The x/u output blocks double as the v/z slack state: lanes freeze (stop
   advancing) once converged, so at loop exit the outputs hold the latched
   solution for converged lanes and the last slack iterates for the rest —
   the reference's solution semantics (admm.cpp:187-188) with no separate
   latch buffers.
-* d lives in the T1 input vector scratch (no copy per iteration).
 
 Scope: box-constrained solves, shared problem — the benchmark workload.
 Per-lane semantics identical to ops/condensed.py including warm-start carry
@@ -29,6 +39,7 @@ iterations then a continuation reproduces one long solve lane-for-lane).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +49,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..condensed import CondensedMaps, build_condensed
+
+
+class FusedCarry(NamedTuple):
+    """Warm-start carry of the fused kernel, stacked (dim, B) layout.
+
+    ``w2 = [znew - y; vnew - g]`` replaces the XLA path's ``d`` iterate
+    (``d = T2r @ [w2; 1]`` exactly): carrying the matmul INPUT instead of its
+    output keeps chained solves bit-identical to one long solve.  Frozen
+    per-lane at the same iteration d would freeze (the reference returns
+    before the backward pass, admm.cpp:181-199).
+    """
+    w2: jax.Array  # (su + sx, B)
+    y: jax.Array   # (su, B)
+    g: jax.Array   # (sx, B)
+    v: jax.Array   # (sx, B)
+    z: jax.Array   # (su, B)
 
 
 def _make_dot(precision):
@@ -96,9 +123,9 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
     (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,)[, carry]) with bounds
     given stacked ((N-1)*nu,)/(N*nx,) shared across the batch and x0s (B,nx).
 
-    With ``warm_start=True`` the extra ``warm`` argument is a (d, y, g, v, z)
-    tuple of stacked (dim, B) arrays (a previous solve's carry); with
-    ``carry_out=True`` the result gains that same tuple for chaining.
+    With ``warm_start=True`` the extra ``warm`` argument is a FusedCarry
+    (w2, y, g, v, z) of stacked (dim, B) arrays (a previous solve's carry);
+    with ``carry_out=True`` the result gains that same tuple for chaining.
 
     ``check_termination=k`` evaluates residuals only every k-th iteration
     (reference Settings semantics, admm.cpp:181): the k-1 intermediate
@@ -116,8 +143,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
     Bt = batch_tile
     su = (N - 1) * nu
     sx = N * nx
-    in1 = su + nx + 1
-    in2r = su + sx + 1
+    sw = su + sx
     alpha = relaxation_alpha
     ct = check_termination
     if ct < 1 or max_iter % ct != 0:
@@ -174,34 +200,34 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
 
     def kernel(*refs):
         it = iter(refs)
-        T1_r, T2_r, rho_r = next(it), next(it), next(it)
+        T12w_r, T12c_r, Tx0_r, T1c_r, rho_r = (next(it) for _ in range(5))
         umin_r, umax_r, xmin_r, xmax_r, x0_r = (next(it) for _ in range(5))
         soc_u_refs = [[next(it) for _ in range(5)] for _ in soc_u_mats]
         soc_x_refs = [[next(it) for _ in range(5)] for _ in soc_x_mats]
         lin_u_refs = [[next(it) for _ in range(2)] for _ in lin_u_mats]
         lin_x_refs = [[next(it) for _ in range(2)] for _ in lin_x_mats]
         if warm_start:
-            d0_r, y0_r, g0_r, v0_r, z0_r = (next(it) for _ in range(5))
+            w20_r, y0_r, g0_r, v0_r, z0_r = (next(it) for _ in range(5))
         xout_r, uout_r, iters_r, solved_r = (next(it) for _ in range(4))
         if carry_out:
-            dco_r, yco_r, gco_r, vco_r, zco_r = (next(it) for _ in range(5))
-        y_s, g_s, vec1_s, vec2_s, conv_s = (next(it) for _ in range(5))
+            wco_r, yco_r, gco_r, vco_r, zco_r = (next(it) for _ in range(5))
+        y_s, g_s, uxc_s, w2_s, conv_s = (next(it) for _ in range(5))
 
-        T1 = T1_r[...]
-        T2 = T2_r[...]
+        T12w = T12w_r[...]
         rho = rho_r[0, 0]
 
-        # init: vec1 = [d; x0; 1]; outputs double as the v/z slack state
-        vec1_s[...] = jnp.zeros_like(vec1_s)
-        vec1_s[su:su + nx] = x0_r[...]
-        vec1_s[in1 - 1:in1, :] = jnp.ones_like(vec1_s[in1 - 1:in1, :])
+        # init: uxc = Tx0 @ x0 + T1c is the x0/const rollout contribution
+        # (ux0); the fused-map constant column T12c is folded in before the
+        # first generic iteration.
+        uxc_s[...] = _dot(Tx0_r[...], x0_r[...]) + T1c_r[...]
         if warm_start:
-            vec1_s[:su] = d0_r[...]
+            w2_s[...] = w20_r[...]
             y_s[...] = y0_r[...]
             g_s[...] = g0_r[...]
             xout_r[...] = v0_r[...]
             uout_r[...] = z0_r[...]
         else:
+            w2_s[...] = jnp.zeros_like(w2_s)
             y_s[...] = jnp.zeros_like(y_s)
             g_s[...] = jnp.zeros_like(g_s)
             xout_r[...] = jnp.zeros_like(xout_r)
@@ -216,17 +242,15 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         conv_s[...] = jnp.zeros_like(conv_s)
         iters_r[...] = jnp.full_like(iters_r, max_iter)
         solved_r[...] = jnp.zeros_like(solved_r)
-        vec2_s[...] = jnp.zeros_like(vec2_s)
-        vec2_s[in2r - 1:in2r, :] = jnp.ones_like(vec2_s[in2r - 1:in2r, :])
 
         pri_tol = jnp.float32(abs_pri_tol)
         dua_tol = jnp.float32(abs_dua_tol)
 
-        def one_iter(i, check):
-            """One ADMM iteration; residual/latch block only when `check`
-            (python static) — intermediate iterations cannot converge,
-            mirroring Settings.check_termination."""
-            ux = _dot(T1, vec1_s[...])
+        def one_iter(i, ux, check):
+            """The elementwise half of one ADMM iteration, given the fused
+            matmul result ux; residual/latch block only when `check` (python
+            static) — intermediate iterations cannot converge, mirroring
+            Settings.check_termination."""
             u = ux[:su]
             x = ux[su:]
 
@@ -257,8 +281,10 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
 
             prev = conv_s[...] != 0
             # converged lanes freeze entirely (reference early-return)
-            y_s[...] = jnp.where(prev, y_s[...], y_s[...] + u_hat - znew)
-            g_s[...] = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
+            y_new = jnp.where(prev, y_s[...], y_s[...] + u_hat - znew)
+            g_new = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
+            y_s[...] = y_new
+            g_s[...] = g_new
 
             if check:
                 ps = jnp.max(jnp.abs(x - vnew), axis=0)
@@ -283,32 +309,51 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             uout_r[...] = jnp.where(prev, z, znew)
             if carry_out:
                 # carry v/z do NOT advance on the converging iteration
-                # (conv_all mask, matching CondensedCarry)
+                # (conv_all mask, matching the XLA path's CondensedCarry)
                 vco_r[...] = jnp.where(conv_all, vco_r[...], vnew)
                 zco_r[...] = jnp.where(conv_all, zco_r[...], znew)
 
-            vec2_s[:su] = znew - y_s[...]
-            vec2_s[su:su + sx] = vnew - g_s[...]
-            d_new = _dot(T2, vec2_s[...])
-            vec1_s[:su] = jnp.where(conv_all, vec1_s[:su], d_new)
+            # w2 freezes exactly when d would (masked write) so a warm
+            # continuation reproduces the frozen lane's iterates bit-exactly.
+            w2_s[:su] = jnp.where(conv_all, w2_s[:su], znew - y_new)
+            w2_s[su:] = jnp.where(conv_all, w2_s[su:], vnew - g_new)
 
-            return jnp.all(conv_all)
+            return jnp.all(conv_all) if check else jnp.bool_(False)
+
+        def fused_ux():
+            return _dot(T12w, w2_s[...]) + uxc_s[...]
+
+        if warm_start:
+            # warm continuation: every iteration (incl. the first) replays
+            # the generic fused matmul on the carried w2 — identical ops to
+            # the uninterrupted solve.
+            uxc_s[...] = uxc_s[...] + T12c_r[...]
+            start = jnp.int32(0)
+            done0 = jnp.bool_(False)
+        else:
+            # cold start: iteration 0 has d = 0, so ux is the pure x0/const
+            # rollout (no matmul); fold T12c afterwards.
+            done0 = one_iter(0, uxc_s[...], ct == 1)
+            uxc_s[...] = uxc_s[...] + T12c_r[...]
+            for k in range(1, ct):
+                done0 = one_iter(k, fused_ux(), k == ct - 1)
+            start = jnp.int32(ct)
 
         def body(carry):
             i, _ = carry
-            for k in range(ct - 1):
-                one_iter(i + k, False)
-            done = one_iter(i + ct - 1, True)
+            done = jnp.bool_(False)
+            for k in range(ct):
+                done = one_iter(i + k, fused_ux(), k == ct - 1)
             return (i + ct, done)
 
         def cond(carry):
             i, done = carry
             return jnp.logical_and(i < max_iter, jnp.logical_not(done))
 
-        lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+        lax.while_loop(cond, body, (start, done0))
 
         if carry_out:
-            dco_r[...] = vec1_s[:su]
+            wco_r[...] = w2_s[...]
             yco_r[...] = y_s[...]
             gco_r[...] = g_s[...]
 
@@ -324,11 +369,11 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         Btot = x0s.shape[0]
         assert Btot % Bt == 0, f"batch {Btot} not a multiple of tile {Bt}"
         f32 = jnp.float32
-        T2 = maps.T2.astype(f32)
-        # reduced backward map: y/g blocks are exact negations of z/v blocks
-        T2r = jnp.concatenate([T2[:, :su + sx], T2[:, -1:]], axis=1)
+        T12 = maps.T12.astype(f32)
+        T1 = maps.T1
         args = [
-            maps.T1.astype(f32), T2r,
+            T12[:, :sw], T12[:, -1:],
+            T1[:, su:su + nx].astype(f32), T1[:, -1:].astype(f32),
             jnp.asarray(rho, f32)[None, None],
             u_min.reshape(su, 1).astype(f32), u_max.reshape(su, 1).astype(f32),
             x_min.reshape(sx, 1).astype(f32), x_max.reshape(sx, 1).astype(f32),
@@ -340,13 +385,13 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                               rowmask)]
         for SelA, Upd, _ in (*lin_u_mats, *lin_x_mats):
             args += [jnp.asarray(SelA), jnp.asarray(Upd)]
-        in_specs = [shared] * 7 + [tile_spec(nx)] + [shared] * n_cref
+        in_specs = [shared] * 9 + [tile_spec(nx)] + [shared] * n_cref
         if warm_start:
             if warm is None:
                 raise ValueError("warm_start solver needs the warm carry")
-            d0, y0, g0, v0, z0 = (w.astype(f32) for w in warm)
-            args += [d0, y0, g0, v0, z0]
-            in_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+            w20, y0, g0, v0, z0 = (w.astype(f32) for w in warm)
+            args += [w20, y0, g0, v0, z0]
+            in_specs += [tile_spec(sw), tile_spec(su), tile_spec(sx),
                          tile_spec(sx), tile_spec(su)]
         elif warm is not None:
             raise ValueError("pass warm only to a warm_start=True solver")
@@ -359,9 +404,9 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             jax.ShapeDtypeStruct((1, Btot), jnp.int32),
         ]
         if carry_out:
-            out_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+            out_specs += [tile_spec(sw), tile_spec(su), tile_spec(sx),
                           tile_spec(sx), tile_spec(su)]
-            out_shape += [jax.ShapeDtypeStruct((su, Btot), f32),
+            out_shape += [jax.ShapeDtypeStruct((sw, Btot), f32),
                           jax.ShapeDtypeStruct((su, Btot), f32),
                           jax.ShapeDtypeStruct((sx, Btot), f32),
                           jax.ShapeDtypeStruct((sx, Btot), f32),
@@ -369,8 +414,8 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         scratch_shapes = [
             pltpu.VMEM((su, Bt), f32),    # y
             pltpu.VMEM((sx, Bt), f32),    # g
-            pltpu.VMEM((in1, Bt), f32),   # vec1 = [d; x0; 1]
-            pltpu.VMEM((in2r, Bt), f32),  # vec2 = [znew - y; vnew - g; 1]
+            pltpu.VMEM((sw, Bt), f32),    # uxc = x0/const rollout (+ T12c)
+            pltpu.VMEM((sw, Bt), f32),    # w2 = [znew - y; vnew - g]
             pltpu.VMEM((1, Bt), jnp.int32),  # conv
         ]
         out = pl.pallas_call(
@@ -387,7 +432,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         res = (vs.T.reshape(B, N, nx), zs.T.reshape(B, N - 1, nu),
                iters[0], solved[0])
         if carry_out:
-            return res + (tuple(out[4:9]),)  # (d, y, g, v, z) carry
+            return res + (FusedCarry(*out[4:9]),)
         return res
 
     return solve_fn

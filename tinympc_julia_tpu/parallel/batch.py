@@ -129,7 +129,7 @@ def _solve_batch_impl(problem, cache, settings, state, *, horizon_parallel,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "settings", "horizon_parallel", "problem_batched", "cache_batched"))
+    "horizon_parallel", "problem_batched", "cache_batched"))
 def solve_batch(problem: Problem, cache: Cache, settings: Settings,
                 state: State, *, horizon_parallel: bool = False,
                 problem_batched: bool = False, cache_batched: bool = False
@@ -141,7 +141,7 @@ def solve_batch(problem: Problem, cache: Cache, settings: Settings,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "settings", "horizon_parallel", "problem_batched", "cache_batched"))
+    "horizon_parallel", "problem_batched", "cache_batched"))
 def solve_vmap(problem: Problem, cache: Cache, settings: Settings,
                state: State, *, horizon_parallel: bool = False,
                problem_batched: bool = False, cache_batched: bool = False

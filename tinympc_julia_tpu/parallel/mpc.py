@@ -32,8 +32,7 @@ class MPCLoopResult(NamedTuple):
     cache: Cache       # final cache (per-instance if adaptive-rho)
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "n_steps",
-                                             "horizon_parallel"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "horizon_parallel"))
 def run_mpc_loop(problem: Problem, cache: Cache, settings: Settings,
                  x0s, n_steps: int, *, Xrefs=None, Urefs=None,
                  horizon_parallel: bool = False) -> MPCLoopResult:
@@ -152,34 +151,47 @@ def make_fused_mpc_loop(problem: Problem, cache: Cache, settings: Settings,
         interpret = jax.default_backend() != "tpu"
 
     maps = cond.build_condensed(problem, cache)
-    fn = make_condensed_fused_solver(
-        nx, nu, N, batch_tile=batch_tile, max_iter=settings.max_iter,
-        abs_pri_tol=settings.abs_pri_tol, abs_dua_tol=settings.abs_dua_tol,
-        en_state_bound=settings.en_state_bound,
-        en_input_bound=settings.en_input_bound,
-        relaxation_alpha=settings.relaxation_alpha,
-        check_termination=settings.check_termination,
-        warm_start=True, carry_out=True, interpret=interpret)
+    kw = dict(batch_tile=batch_tile, max_iter=settings.max_iter,
+              abs_pri_tol=settings.abs_pri_tol,
+              abs_dua_tol=settings.abs_dua_tol,
+              en_state_bound=settings.en_state_bound,
+              en_input_bound=settings.en_input_bound,
+              relaxation_alpha=settings.relaxation_alpha,
+              check_termination=settings.check_termination,
+              carry_out=True, interpret=interpret)
+    # Step 0 is a genuine cold start (d = 0); later steps continue from the
+    # previous step's FusedCarry.  The fused kernel's cold and warm entries
+    # differ (w2 = 0 is not d = 0 when references are baked into the maps),
+    # so the first step is peeled out of the scan.
+    fn_cold = make_condensed_fused_solver(nx, nu, N, warm_start=False, **kw)
+    fn_warm = make_condensed_fused_solver(nx, nu, N, warm_start=True, **kw)
 
     f32 = jnp.float32
     bounds = (problem.u_min, problem.u_max, problem.x_min, problem.x_max)
 
     @jax.jit
     def loop(x0s):
-        B = x0s.shape[0]
-        zu = jnp.zeros((su, B), f32)
-        zx = jnp.zeros((sx, B), f32)
-        warm0 = (zu, zu, zx, zx, zu)  # (d, y, g, v, z)
+        def advance(x, us_plan):
+            u0 = us_plan[:, 0, :]
+            return u0, x @ problem.A.T + u0 @ problem.B.T + problem.f
+
+        x = x0s.astype(f32)
+        _, us_plan0, it0, ok0, warm = fn_cold(maps, cache.rho, *bounds, x)
+        u0_first, x = advance(x, us_plan0)
+        first = (x0s.astype(f32), u0_first, it0, ok0)
 
         def step(carry, t):
             warm, x = carry
-            _, us_plan, it, ok, warm2 = fn(maps, cache.rho, *bounds, x, warm)
-            u0 = us_plan[:, 0, :]
-            x_next = x @ problem.A.T + u0 @ problem.B.T + problem.f
+            _, us_plan, it, ok, warm2 = fn_warm(maps, cache.rho, *bounds, x,
+                                                warm)
+            u0, x_next = advance(x, us_plan)
             return (warm2, x_next), (x, u0, it, ok)
 
         (_, _), (xs, us, iters, solved) = lax.scan(
-            step, (warm0, x0s.astype(f32)), jnp.arange(n_steps))
+            step, (warm, x), jnp.arange(n_steps - 1))
+        xs, us, iters, solved = (
+            jnp.concatenate([f[None], r], axis=0)
+            for f, r in zip(first, (xs, us, iters, solved)))
         return (jnp.swapaxes(xs, 0, 1), jnp.swapaxes(us, 0, 1),
                 jnp.swapaxes(iters, 0, 1), jnp.swapaxes(solved, 0, 1))
 
@@ -202,7 +214,7 @@ def run_mpc_loop_fused(problem: Problem, cache: Cache, settings: Settings,
     return loop_fn(x0s)
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("n_steps",))
 def _mpc_loop_condensed(problem, cache, maps, x0s, Xrefs, Urefs, *,
                         settings: Settings, n_steps: int
                         ) -> CondensedMPCLoopResult:
