@@ -19,8 +19,14 @@ chain, full MXU utilization.  This is the TPU-native answer to the
 reference's sweep loop; results match the sequential path up to float
 reassociation.
 
-Scope: box constraints, shared problem across the batch (the throughput
-workload).  General constraints/per-instance problems use ops/admm.py.
+Scope: the full constraint stack (box / per-stage linear / SOC).  The maps
+are per-problem; a batch may share one problem (solve_condensed — one shared
+matmul) or carry G distinct problems with L lanes each
+(solve_condensed_grouped — a vmapped/batched contraction, the
+domain-randomized sweep workload).  Fully-unique per-lane problems are the
+G=B, L=1 degenerate case; at that extreme the standard path (ops/admm.py via
+parallel/batch.py) is usually the better fit since the per-group matmul
+degenerates to a matvec.
 """
 from __future__ import annotations
 
@@ -58,48 +64,53 @@ def _t1_numpy(A, B, f, K, N):
 
     Rollout:  x_0 = x0;  x_{i+1} = M x_i + f - B d_i;  u_i = -K x_i - d_i
     with M = A - B K (forward_pass, admm.cpp:25-35).
+
+    Accepts optional leading batch axes on every argument (numpy matmul
+    broadcasting) — the grouped builders reuse this directly.
     """
-    nx, nu = B.shape
+    nx, nu = B.shape[-2], B.shape[-1]
     su, sx = (N - 1) * nu, N * nx
+    bsh = B.shape[:-2]
 
     M = A - B @ K  # closed-loop matrix
+    fcol = f[..., :, None]  # (..., nx, 1)
 
     # x_i = M^i x0 + sum_{j<i} M^(i-1-j) (f - B d_j)
-    powers = [np.eye(nx)]
+    powers = [np.broadcast_to(np.eye(nx), bsh + (nx, nx))]
     for _ in range(N):
         powers.append(M @ powers[-1])
 
     # x rows: (sx, su) in d, (sx, nx) in x0, (sx, 1) const
-    X_d = np.zeros((sx, su))
-    X_x0 = np.zeros((sx, nx))
-    X_c = np.zeros((sx, 1))
+    X_d = np.zeros(bsh + (sx, su))
+    X_x0 = np.zeros(bsh + (sx, nx))
+    X_c = np.zeros(bsh + (sx, 1))
     for i in range(N):
-        X_x0[i * nx:(i + 1) * nx] = powers[i]
+        X_x0[..., i * nx:(i + 1) * nx, :] = powers[i]
         for j in range(i):
-            X_d[i * nx:(i + 1) * nx, j * nu:(j + 1) * nu] = \
-                -powers[i - 1 - j] @ B
-            X_c[i * nx:(i + 1) * nx, 0] += powers[i - 1 - j] @ f
+            X_d[..., i * nx:(i + 1) * nx, j * nu:(j + 1) * nu] = \
+                -(powers[i - 1 - j] @ B)
+            X_c[..., i * nx:(i + 1) * nx, :] += powers[i - 1 - j] @ fcol
     # u rows: u_i = -K x_i - d_i (i = 0..N-2)
-    U_d = np.zeros((su, su))
-    U_x0 = np.zeros((su, nx))
-    U_c = np.zeros((su, 1))
+    U_d = np.zeros(bsh + (su, su))
+    U_x0 = np.zeros(bsh + (su, nx))
+    U_c = np.zeros(bsh + (su, 1))
     for i in range(N - 1):
         r0, r1 = i * nu, (i + 1) * nu
-        U_d[r0:r1] = -K @ X_d[i * nx:(i + 1) * nx]
-        U_d[r0:r1, r0:r1] -= np.eye(nu)
-        U_x0[r0:r1] = -K @ X_x0[i * nx:(i + 1) * nx]
-        U_c[r0:r1] = -K @ X_c[i * nx:(i + 1) * nx]
+        U_d[..., r0:r1, :] = -(K @ X_d[..., i * nx:(i + 1) * nx, :])
+        U_d[..., r0:r1, r0:r1] -= np.eye(nu)
+        U_x0[..., r0:r1, :] = -(K @ X_x0[..., i * nx:(i + 1) * nx, :])
+        U_c[..., r0:r1, :] = -(K @ X_c[..., i * nx:(i + 1) * nx, :])
 
     # input vector layout: [d (su); x0 (nx); 1] — the rollout depends only on
     # d, x0 and the constant term.
     in1 = su + nx + 1
-    T1 = np.zeros((su + sx, in1))
-    T1[:su, :su] = U_d
-    T1[:su, su:su + nx] = U_x0
-    T1[:su, -1:] = U_c
-    T1[su:, :su] = X_d
-    T1[su:, su:su + nx] = X_x0
-    T1[su:, -1:] = X_c
+    T1 = np.zeros(bsh + (su + sx, in1))
+    T1[..., :su, :su] = U_d
+    T1[..., :su, su:su + nx] = U_x0
+    T1[..., :su, -1:] = U_c
+    T1[..., su:, :su] = X_d
+    T1[..., su:, su:su + nx] = X_x0
+    T1[..., su:, -1:] = X_c
     return T1
 
 
@@ -116,53 +127,65 @@ def _t2_numpy(B, Qd, Rd, Xref, Uref, K, Quu, Am, Pinf, rho, N):
       p_{N-1} = pNref - rho (vnew_{N-1} - g'_{N-1})
       p_i = Am p_{i+1} + (q_i - K^T r_i)
       d'_i = Quu (B^T p_{i+1} + r_i)
-    """
-    nx, nu = B.shape
-    su, sx = (N - 1) * nu, N * nx
 
-    rref = (-(Uref * Rd)).reshape(su, 1)
-    qref = (-(Xref * Qd)).reshape(sx, 1)
-    pNref = (-(Pinf.T @ Xref[-1])).reshape(nx, 1)
+    Accepts optional leading batch axes (rho then has shape bsh) — the
+    grouped builders reuse this directly.
+    """
+    nx, nu = B.shape[-2], B.shape[-1]
+    su, sx = (N - 1) * nu, N * nx
+    bsh = B.shape[:-2]
+    rho_s = np.asarray(rho)[..., None, None]  # (..., 1, 1)
+    BT = np.swapaxes(B, -1, -2)
+    KT = np.swapaxes(K, -1, -2)
+    PinfT = np.swapaxes(Pinf, -1, -2)
+
+    rref = (-(Uref * Rd[..., None, :])).reshape(bsh + (su, 1))
+    qref = (-(Xref * Qd[..., None, :])).reshape(bsh + (sx, 1))
+    pNref = -(PinfT @ Xref[..., -1, :, None])  # (..., nx, 1)
 
     # Build p_i as affine in [znew; vnew; y'; g'; 1]
     in2 = su + sx + su + sx + 1
     iz, iv, iy, ig = 0, su, su + sx, su + sx + su
 
     def r_row(i):
-        """r_i as (nu, in2) affine map."""
-        R = np.zeros((nu, in2))
+        """r_i as (..., nu, in2) affine map."""
+        R = np.zeros(bsh + (nu, in2))
         r0 = i * nu
-        R[:, iz + r0:iz + r0 + nu] = -rho * np.eye(nu)
-        R[:, iy + r0:iy + r0 + nu] = rho * np.eye(nu)
-        R[:, -1:] = rref[r0:r0 + nu]
+        R[..., :, iz + r0:iz + r0 + nu] = -rho_s * np.eye(nu)
+        R[..., :, iy + r0:iy + r0 + nu] = rho_s * np.eye(nu)
+        R[..., :, -1:] = rref[..., r0:r0 + nu, :]
         return R
 
     def q_row(i):
-        Q = np.zeros((nx, in2))
+        Q = np.zeros(bsh + (nx, in2))
         r0 = i * nx
-        Q[:, iv + r0:iv + r0 + nx] = -rho * np.eye(nx)
-        Q[:, ig + r0:ig + r0 + nx] = rho * np.eye(nx)
-        Q[:, -1:] = qref[r0:r0 + nx]
+        Q[..., :, iv + r0:iv + r0 + nx] = -rho_s * np.eye(nx)
+        Q[..., :, ig + r0:ig + r0 + nx] = rho_s * np.eye(nx)
+        Q[..., :, -1:] = qref[..., r0:r0 + nx, :]
         return Q
 
-    pN = np.zeros((nx, in2))
+    pN = np.zeros(bsh + (nx, in2))
     r0 = (N - 1) * nx
-    pN[:, iv + r0:iv + r0 + nx] = -rho * np.eye(nx)
-    pN[:, ig + r0:ig + r0 + nx] = rho * np.eye(nx)
-    pN[:, -1:] = pNref
+    pN[..., :, iv + r0:iv + r0 + nx] = -rho_s * np.eye(nx)
+    pN[..., :, ig + r0:ig + r0 + nx] = rho_s * np.eye(nx)
+    pN[..., :, -1:] = pNref
 
-    T2 = np.zeros((su, in2))
+    T2 = np.zeros(bsh + (su, in2))
     p_next = pN
     for i in range(N - 2, -1, -1):
         ri = r_row(i)
-        d_i = Quu @ (B.T @ p_next + ri)
-        T2[i * nu:(i + 1) * nu] = d_i
-        p_next = q_row(i) + Am @ p_next - K.T @ ri
+        d_i = Quu @ (BT @ p_next + ri)
+        T2[..., i * nu:(i + 1) * nu, :] = d_i
+        p_next = q_row(i) + Am @ p_next - KT @ ri
     return T2
 
 
 def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
-    """Build T1/T2 in float64 on host, cast to the problem dtype."""
+    """Build T1/T2 in float64 on host, cast to the problem dtype.
+
+    ``problem``/``cache`` may carry a leading group axis (a batched pytree of
+    G distinct problems, the per-instance workload): the maps then gain the
+    same leading axis and feed the grouped solvers below."""
     N = problem.N
     A = np.asarray(problem.A, np.float64)
     B = np.asarray(problem.B, np.float64)
@@ -171,7 +194,7 @@ def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
     Quu = np.asarray(cache.Quu_inv, np.float64)
     Am = np.asarray(cache.AmBKt, np.float64)
     Pinf = np.asarray(cache.Pinf, np.float64)
-    rho = float(cache.rho)
+    rho = np.asarray(cache.rho, np.float64)
     Qd = np.asarray(problem.Q, np.float64)
     Rd = np.asarray(problem.R, np.float64)
     Xref = np.asarray(problem.Xref, np.float64)
@@ -182,10 +205,10 @@ def build_condensed(problem: Problem, cache: Cache) -> CondensedMaps:
 
     # Iteration-fused map for the Pallas kernel: substitute the backward map
     # into the next forward map.  su/sx/nu layout as in the class docstring.
-    nx, nu = B.shape
+    nx, nu = B.shape[-2], B.shape[-1]
     su, sx = (N - 1) * nu, N * nx
-    T2r = np.concatenate([T2[:, :su + sx], T2[:, -1:]], axis=1)
-    T12 = T1[:, :su] @ T2r
+    T2r = np.concatenate([T2[..., :, :su + sx], T2[..., :, -1:]], axis=-1)
+    T12 = T1[..., :, :su] @ T2r
 
     dtype = problem.A.dtype
     return CondensedMaps(T1=jnp.asarray(T1, dtype), T2=jnp.asarray(T2, dtype),
@@ -199,12 +222,15 @@ def _t1_taylor_numpy(A, B, f, K0, dK, N, order):
     T1's entries are polynomials of degree <= N in drho (powers of the
     closed-loop matrix M(rho) = A - B K(rho)); the coefficients up to `order`
     are computed EXACTLY by carrying truncated coefficient lists through the
-    power recursion (no finite differencing).  Returns (order+1, su+sx, in1).
+    power recursion (no finite differencing).  Returns (order+1, su+sx, in1),
+    with optional leading batch axes ahead of the order axis
+    (..., order+1, su+sx, in1) when the arguments are batched.
     """
-    nx, nu = B.shape
+    nx, nu = B.shape[-2], B.shape[-1]
     su, sx = (N - 1) * nu, N * nx
     in1 = su + nx + 1
     o = order
+    bsh = B.shape[:-2]
 
     def pmul(Pa, Pb):
         """Truncated product of matrix-coefficient lists."""
@@ -216,48 +242,48 @@ def _t1_taylor_numpy(A, B, f, K0, dK, N, order):
             out.append(acc)
         return out
 
-    zM = np.zeros((nx, nx))
-    Mc = [A - B @ K0, -B @ dK] + [zM] * (o - 1)
+    zM = np.zeros(bsh + (nx, nx))
+    Mc = [A - B @ K0, -(B @ dK)] + [zM] * (o - 1)
     Kc = [K0, dK] + [np.zeros_like(K0)] * (o - 1)
-    fcol = f.reshape(nx, 1)
+    fcol = f[..., :, None]
 
     # pw[i] = coeff list of M(rho)^i ; cs[i] = coeff list of
     # sum_{j<i} M^(i-1-j) f  (the affine-term accumulation)
-    pw = [[np.eye(nx)] + [zM] * o]
-    cs = [[np.zeros((nx, 1)) for _ in range(o + 1)]]
+    pw = [[np.broadcast_to(np.eye(nx), bsh + (nx, nx))] + [zM] * o]
+    cs = [[np.zeros(bsh + (nx, 1)) for _ in range(o + 1)]]
     for _ in range(N - 1):
         pw.append(pmul(Mc, pw[-1]))
         nc = pmul(Mc, cs[-1])
         nc[0] = nc[0] + fcol
         cs.append(nc)
 
-    # per-stage x-row blocks as coefficient lists of (nx, in1)
+    # per-stage x-row blocks as coefficient lists of (..., nx, in1)
     Xrows = []
     for i in range(N):
         row = []
         for k in range(o + 1):
-            Rk = np.zeros((nx, in1))
+            Rk = np.zeros(bsh + (nx, in1))
             for j in range(i):
-                Rk[:, j * nu:(j + 1) * nu] = -pw[i - 1 - j][k] @ B
-            Rk[:, su:su + nx] = pw[i][k]
-            Rk[:, -1:] = cs[i][k]
+                Rk[..., :, j * nu:(j + 1) * nu] = -(pw[i - 1 - j][k] @ B)
+            Rk[..., :, su:su + nx] = pw[i][k]
+            Rk[..., :, -1:] = cs[i][k]
             row.append(Rk)
         Xrows.append(row)
 
     T1s = []
     for k in range(o + 1):
-        T1k = np.zeros((su + sx, in1))
+        T1k = np.zeros(bsh + (su + sx, in1))
         for i in range(N - 1):
-            Uk = -Kc[0] @ Xrows[i][k]
+            Uk = -(Kc[0] @ Xrows[i][k])
             for a in range(1, k + 1):
                 Uk = Uk - Kc[a] @ Xrows[i][k - a]
             if k == 0:
-                Uk[:, i * nu:(i + 1) * nu] -= np.eye(nu)
-            T1k[i * nu:(i + 1) * nu] = Uk
+                Uk[..., :, i * nu:(i + 1) * nu] -= np.eye(nu)
+            T1k[..., i * nu:(i + 1) * nu, :] = Uk
         for i in range(N):
-            T1k[su + i * nx:su + (i + 1) * nx] = Xrows[i][k]
+            T1k[..., su + i * nx:su + (i + 1) * nx, :] = Xrows[i][k]
         T1s.append(T1k)
-    return np.stack(T1s)
+    return np.stack(T1s, axis=-3)
 
 
 class CondensedTaylorMaps(NamedTuple):
@@ -280,7 +306,10 @@ class CondensedTaylorMaps(NamedTuple):
 
 def build_condensed_taylor(problem: Problem, cache: Cache,
                            order: int = 2) -> CondensedTaylorMaps:
-    """Build the Taylor-expanded condensed maps (float64 on host)."""
+    """Build the Taylor-expanded condensed maps (float64 on host).
+
+    Like build_condensed, accepts a leading group axis on ``problem``/
+    ``cache`` (maps gain the same leading axis; rho0 becomes (G,))."""
     if order < 1:
         raise ValueError("order must be >= 1")
     N = problem.N
@@ -293,7 +322,7 @@ def build_condensed_taylor(problem: Problem, cache: Cache,
     dP = np.asarray(cache.dPinf_drho, np.float64)
     Quu = np.asarray(cache.Quu_inv, np.float64)
     Am = np.asarray(cache.AmBKt, np.float64)
-    rho0 = float(cache.rho)
+    rho0 = np.asarray(cache.rho, np.float64)
     Qd = np.asarray(problem.Q, np.float64)
     Rd = np.asarray(problem.R, np.float64)
     Xref = np.asarray(problem.Xref, np.float64)
@@ -309,7 +338,7 @@ def build_condensed_taylor(problem: Problem, cache: Cache,
     Ta = t2(1.0, 0.0) - T00
     Tb = t2(0.0, 1.0) - T00
     Tab = t2(1.0, 1.0) - T00 - Ta - Tb
-    T2s = np.stack([T00, Ta, Tb, Tab])
+    T2s = np.stack([T00, Ta, Tb, Tab], axis=-3)
 
     dtype = problem.A.dtype
     return CondensedTaylorMaps(T1s=jnp.asarray(T1s, dtype),
@@ -612,6 +641,46 @@ def solve_condensed(problem: Problem, cache: Cache, settings: Settings, x0s,
     return out if return_carry else out[:4]
 
 
+@jax.jit
+def _solve_condensed_grouped(problems, caches, maps, x0s, warm, settings):
+    def one(p, c, m, x0, w):
+        return _solve_condensed_impl(p, c, m, settings, x0, w)
+    return jax.vmap(one)(problems, caches, maps, x0s, warm)
+
+
+def solve_condensed_grouped(problems: Problem, caches: Cache,
+                            settings: Settings, x0s,
+                            maps: CondensedMaps | None = None, *,
+                            warm: CondensedCarry | None = None,
+                            return_carry: bool = False):
+    """Per-instance (domain-randomized) problems on the condensed fast path.
+
+    ``problems``/``caches`` are pytrees with a leading group axis G — G
+    *distinct* plants/costs/bounds/refs — and ``x0s`` has shape (G, L, nx):
+    L initial states per group.  This is the batched analog of the reference's
+    per-problem ``tiny_setup`` (/root/reference/src/codegen_src/tinympc/tiny_api.cpp:21-122)
+    at sweep scale: the G condensed maps apply as one batched MXU contraction
+    (vmap of the shared-problem solver), per-lane semantics identical to
+    solving each group alone.
+
+    Returns (xs (G, L, N, nx), us (G, L, N-1, nu), iters (G, L),
+    solved (G, L)), plus the (G,)-batched carry when ``return_carry=True``.
+    """
+    if maps is None:
+        maps = build_condensed(problems, caches)
+    if warm is None:
+        G, L = x0s.shape[0], x0s.shape[1]
+        nx, nu = problems.A.shape[-1], problems.B.shape[-1]
+        N = problems.Xref.shape[-2]
+        su, sx = (N - 1) * nu, N * nx
+        zu = jnp.zeros((G, su, L), x0s.dtype)
+        zx = jnp.zeros((G, sx, L), x0s.dtype)
+        warm = CondensedCarry(d=zu, y=zu, g=zx, v=zx, z=zu)
+    out = _solve_condensed_grouped(problems, caches, maps, x0s, warm,
+                                   settings)
+    return out if return_carry else out[:4]
+
+
 class AdaptiveCondensedCarry(NamedTuple):
     """Warm-start carry for the adaptive-rho condensed solver: the fixed-rho
     carry plus the per-lane rho each lane ended on."""
@@ -800,4 +869,39 @@ def solve_condensed_adaptive(problem: Problem, cache: Cache,
     if maps is None:
         maps = build_condensed_taylor(problem, cache, order=order)
     out = _solve_condensed_adaptive(problem, cache, maps, x0s, warm, settings)
+    return out if return_carry else out[:4]
+
+
+@jax.jit
+def _solve_condensed_adaptive_grouped(problems, caches, maps, x0s, warm,
+                                      settings):
+    def one(p, c, m, x0, w):
+        return _solve_condensed_adaptive_impl(p, c, m, settings, x0, w)
+    return jax.vmap(one)(problems, caches, maps, x0s, warm)
+
+
+def solve_condensed_adaptive_grouped(problems: Problem, caches: Cache,
+                                     settings: Settings, x0s,
+                                     maps: CondensedTaylorMaps | None = None,
+                                     *, order: int = 2,
+                                     warm: AdaptiveCondensedCarry | None = None,
+                                     return_carry: bool = False):
+    """Per-instance problems + per-lane adaptive rho on the condensed path:
+    the grouped analog of solve_condensed_adaptive (see
+    solve_condensed_grouped for the layout: leading group axis G on
+    ``problems``/``caches``; x0s is (G, L, nx))."""
+    if maps is None:
+        maps = build_condensed_taylor(problems, caches, order=order)
+    if warm is None:
+        G, L = x0s.shape[0], x0s.shape[1]
+        nx, nu = problems.A.shape[-1], problems.B.shape[-1]
+        N = problems.Xref.shape[-2]
+        su, sx = (N - 1) * nu, N * nx
+        zu = jnp.zeros((G, su, L), x0s.dtype)
+        zx = jnp.zeros((G, sx, L), x0s.dtype)
+        rho0 = jnp.broadcast_to(
+            jnp.asarray(caches.rho, x0s.dtype)[:, None], (G, L))
+        warm = AdaptiveCondensedCarry(d=zu, y=zu, g=zx, v=zx, z=zu, rho=rho0)
+    out = _solve_condensed_adaptive_grouped(problems, caches, maps, x0s,
+                                            warm, settings)
     return out if return_carry else out[:4]

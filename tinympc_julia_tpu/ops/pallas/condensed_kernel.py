@@ -116,12 +116,24 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 lin_u=None, lin_x=None,
                                 warm_start: bool = False,
                                 carry_out: bool = False,
+                                num_groups: int = 1,
                                 interpret: bool = False):
     """Build a jitted fused condensed solver.
 
     Returns solve_fn(maps, rho, u_min, u_max, x_min, x_max, x0s[, warm]) ->
     (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,)[, carry]) with bounds
     given stacked ((N-1)*nu,)/(N*nx,) shared across the batch and x0s (B,nx).
+
+    With ``num_groups=G > 1`` the kernel solves G *distinct* problems (the
+    domain-randomized sweep workload): ``maps`` carry a leading group axis
+    (build_condensed on a G-batched problem/cache pytree), ``rho`` is (G,),
+    bounds gain a leading G axis, and ``x0s`` is (G, L, nx) with L lanes per
+    group (L a multiple of the batch tile).  The grid gains a group
+    dimension; each grid step loads its group's T12 block into VMEM.
+    Returns/carries keep the flattened lane order (B = G*L, lane = g*L + l).
+    Constraint selector structure (SOC starts/dims/mu, linear rows) stays
+    shared across groups on this path — per-group cone/halfspace DATA needs
+    the XLA grouped path (ops/condensed.solve_condensed_grouped).
 
     With ``warm_start=True`` the extra ``warm`` argument is a FusedCarry
     (w2, y, g, v, z) of stacked (dim, B) arrays (a previous solve's carry);
@@ -213,13 +225,17 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             wco_r, yco_r, gco_r, vco_r, zco_r = (next(it) for _ in range(5))
         y_s, g_s, uxc_s, w2_s, conv_s = (next(it) for _ in range(5))
 
-        T12w = T12w_r[...]
-        rho = rho_r[0, 0]
+        # group-indexed inputs arrive as (1, rows, cols) blocks
+        T12w = T12w_r[0]
+        T12c = T12c_r[0]
+        rho = rho_r[0, 0, 0]
+        umin, umax = umin_r[0], umax_r[0]
+        xmin, xmax = xmin_r[0], xmax_r[0]
 
         # init: uxc = Tx0 @ x0 + T1c is the x0/const rollout contribution
         # (ux0); the fused-map constant column T12c is folded in before the
         # first generic iteration.
-        uxc_s[...] = _dot(Tx0_r[...], x0_r[...]) + T1c_r[...]
+        uxc_s[...] = _dot(Tx0_r[0], x0_r[...]) + T1c_r[0]
         if warm_start:
             w2_s[...] = w20_r[...]
             y_s[...] = y0_r[...]
@@ -263,12 +279,10 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                 u_hat, x_hat = u, x
             znew = u_hat + y_s[...]
             if en_input_bound:
-                znew = jnp.minimum(umax_r[...],
-                                   jnp.maximum(umin_r[...], znew))
+                znew = jnp.minimum(umax, jnp.maximum(umin, znew))
             vnew = x_hat + g_s[...]
             if en_state_bound:
-                vnew = jnp.minimum(xmax_r[...],
-                                   jnp.maximum(xmin_r[...], vnew))
+                vnew = jnp.minimum(xmax, jnp.maximum(xmin, vnew))
             # composition order: box -> linear -> SOC (ops/condensed.py)
             for refs_j, (_, _, b) in zip(lin_u_refs, lin_u_mats):
                 znew = _apply_lin(znew, refs_j, b)
@@ -327,14 +341,14 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             # warm continuation: every iteration (incl. the first) replays
             # the generic fused matmul on the carried w2 — identical ops to
             # the uninterrupted solve.
-            uxc_s[...] = uxc_s[...] + T12c_r[...]
+            uxc_s[...] = uxc_s[...] + T12c
             start = jnp.int32(0)
             done0 = jnp.bool_(False)
         else:
             # cold start: iteration 0 has d = 0, so ux is the pure x0/const
             # rollout (no matmul); fold T12c afterwards.
             done0 = one_iter(0, uxc_s[...], ct == 1)
-            uxc_s[...] = uxc_s[...] + T12c_r[...]
+            uxc_s[...] = uxc_s[...] + T12c
             for k in range(1, ct):
                 done0 = one_iter(k, fused_ux(), k == ct - 1)
             start = jnp.int32(ct)
@@ -358,25 +372,54 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             gco_r[...] = g_s[...]
 
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    G = num_groups
 
-    def tile_spec(rows):
-        return pl.BlockSpec((rows, Bt), lambda t: (0, t),
+    def gspec(rows, cols):
+        """Group-indexed (1, rows, cols) block of a (G, rows, cols) array."""
+        return pl.BlockSpec((1, rows, cols), lambda g, t: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     @jax.jit
     def solve_fn(maps: CondensedMaps, rho, u_min, u_max, x_min, x_max, x0s,
                  warm=None):
-        Btot = x0s.shape[0]
-        assert Btot % Bt == 0, f"batch {Btot} not a multiple of tile {Bt}"
         f32 = jnp.float32
+        if G > 1:
+            assert x0s.ndim == 3 and x0s.shape[0] == G, \
+                f"grouped solver needs x0s (G={G}, L, nx); got {x0s.shape}"
+            x0s = x0s.reshape(G * x0s.shape[1], x0s.shape[2])
+        Btot = x0s.shape[0]
+        assert Btot % (G * Bt) == 0, \
+            f"batch {Btot} not a multiple of groups*tile {G}*{Bt}"
+        tpg = Btot // (G * Bt)  # lane tiles per group
+
+        def tile_spec(rows):
+            return pl.BlockSpec((rows, Bt), lambda g, t: (0, g * tpg + t),
+                                memory_space=pltpu.VMEM)
+
+        def grouped3(a, rows, cols):
+            """Normalize a map block to (G, rows, cols) f32."""
+            a = jnp.asarray(a, f32)
+            if a.ndim == 2:
+                a = jnp.broadcast_to(a, (G, rows, cols))
+            return a
+
+        def bound(b, rows):
+            b = jnp.asarray(b, f32)
+            if b.size == G * rows:
+                return b.reshape(G, rows, 1)
+            return jnp.broadcast_to(b.reshape(rows, 1), (G, rows, 1))
+
         T12 = maps.T12.astype(f32)
         T1 = maps.T1
         args = [
-            T12[:, :sw], T12[:, -1:],
-            T1[:, su:su + nx].astype(f32), T1[:, -1:].astype(f32),
-            jnp.asarray(rho, f32)[None, None],
-            u_min.reshape(su, 1).astype(f32), u_max.reshape(su, 1).astype(f32),
-            x_min.reshape(sx, 1).astype(f32), x_max.reshape(sx, 1).astype(f32),
+            grouped3(T12[..., :, :sw], sw, sw),
+            grouped3(T12[..., :, -1:], sw, 1),
+            grouped3(T1[..., :, su:su + nx], sw, nx),
+            grouped3(T1[..., :, -1:], sw, 1),
+            jnp.broadcast_to(jnp.asarray(rho, f32).reshape(-1, 1, 1),
+                             (G, 1, 1)),
+            bound(u_min, su), bound(u_max, su),
+            bound(x_min, sx), bound(x_max, sx),
             x0s.T.astype(f32),
         ]
         for (SelV, SelS, ExpV, ExpS, rowmask), _ in (*soc_u_mats,
@@ -385,7 +428,10 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                               rowmask)]
         for SelA, Upd, _ in (*lin_u_mats, *lin_x_mats):
             args += [jnp.asarray(SelA), jnp.asarray(Upd)]
-        in_specs = [shared] * 9 + [tile_spec(nx)] + [shared] * n_cref
+        in_specs = ([gspec(sw, sw), gspec(sw, 1), gspec(sw, nx), gspec(sw, 1),
+                     gspec(1, 1),
+                     gspec(su, 1), gspec(su, 1), gspec(sx, 1), gspec(sx, 1)]
+                    + [tile_spec(nx)] + [shared] * n_cref)
         if warm_start:
             if warm is None:
                 raise ValueError("warm_start solver needs the warm carry")
@@ -420,7 +466,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         ]
         out = pl.pallas_call(
             kernel,
-            grid=(Btot // Bt,),
+            grid=(G, tpg),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
