@@ -1,11 +1,21 @@
 #!/usr/bin/env python3
-"""Benchmark: converged cartpole-class MPC solves/sec on one chip.
+"""Benchmark: the four BASELINE.md example configs + the domain-randomized
+grouped sweep, on one chip.
 
 North star (BASELINE.json): >= 1e5 converged cartpole MPC solves/sec on a
-v5e-16 slice == 6250 solves/sec/chip.  vs_baseline is measured against that
-per-chip share (the reference itself publishes no numbers, BASELINE.md).
+v5e-16 slice == 6250 solves/sec/chip.  vs_baseline measures the headline
+cartpole number against that per-chip share (the reference itself publishes
+no numbers, BASELINE.md).
 
-Prints ONE JSON line to stdout; diagnostics go to stderr.
+Prints ONE JSON line to stdout: the headline metric plus an "extra" dict
+carrying the other configs (quadrotor adaptive-rho, rocket SOC, fused
+closed-loop MPC steps/s, randomized-quadrotor grouped sweep).  Diagnostics
+go to stderr.
+
+  --mesh    run the headline config under shard_map over all available
+            devices (per-chip scaling / psum-vote overhead probe; with one
+            chip this is a 1-device mesh).
+  --quick   smaller batches/reps (development smoke run).
 """
 import json
 import sys
@@ -14,27 +24,39 @@ import time
 import numpy as np
 
 PER_CHIP_TARGET = 1e5 / 16  # north-star v5e-16 share
+QUICK = "--quick" in sys.argv
+MESH = "--mesh" in sys.argv
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _median_time(run, reps):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_cartpole(reps):
+    """Headline: fresh cartpole solves, two-phase straggler pipeline in one
+    dispatch (BASELINE.md config 1/2 plant; examples/cartpole_example_one_solve.jl:11-23)."""
     import jax
     import jax.numpy as jnp
-    from tinympc_julia_tpu import Settings, make_problem, precompute_cache
+    from tinympc_julia_tpu import make_problem, precompute_cache
     from tinympc_julia_tpu.models import cartpole
     from tinympc_julia_tpu.ops.condensed import build_condensed
-
     from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
         make_condensed_fused_solver)
 
     dtype = jnp.float32
     N = cartpole.HORIZON
-    B = 65536          # instances per measured batch
-    B2 = 8192          # phase-2 straggler batch (compacted)
-    ALPHA = 1.7        # over-relaxation
+    B = 8192 if QUICK else 65536
+    B2 = 2048 if QUICK else 8192
+    ALPHA = 1.7
 
     p = make_problem(jnp.asarray(cartpole.A, dtype),
                      jnp.asarray(cartpole.B, dtype),
@@ -54,12 +76,10 @@ def main():
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
     bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
-    @jax.jit
     def _pipeline(x0s):
         """Two-phase fused solve as ONE dispatch: bulk pass, compact the
         stragglers, CONTINUE them warm from their phase-1 carry (exact
-        continuation — no re-solving; VMEM-resident condensed kernel,
-        ops/pallas)."""
+        continuation — no re-solving)."""
         _, _, it1, ok1, carry = fn1(maps, c.rho, *bounds, x0s)
         unconv = ok1 == 0
         idx = jnp.nonzero(unconv, size=B2, fill_value=0)[0]
@@ -67,43 +87,278 @@ def main():
         _, _, it2, ok2 = fn2(maps, c.rho, *bounds, x0s[idx], warm)
         return it1, ok1, idx, it2, ok2, unconv
 
+    n_dev = 1
+    if MESH:
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        devs = np.asarray(jax.devices())
+        n_dev = len(devs)
+        mesh = Mesh(devs, ("batch",))
+        assert B % n_dev == 0
+        pipeline = jax.jit(shard_map(
+            _pipeline, mesh=mesh, in_specs=P("batch"),
+            out_specs=(P("batch"), P("batch"), P("batch"), P("batch"),
+                       P("batch"), P("batch"))))
+        log(f"cartpole: --mesh over {n_dev} device(s); per-device shard "
+            f"{B // n_dev}")
+    else:
+        pipeline = jax.jit(_pipeline)
+
     def run():
-        out = _pipeline(x0s)
+        out = pipeline(x0s)
         jax.block_until_ready(out[4])
         return out
 
-    # Warmup / compile both phases
     it1, ok1, idx, it2, ok2, unconv = run()
     n1 = int(np.sum(np.asarray(ok1)))
     n_straggler = int(np.sum(np.asarray(unconv)))
-    mask2 = np.zeros(B2, bool)
-    mask2[:n_straggler] = True  # nonzero() packs real indices first
+    # nonzero() packs real indices first (per shard in mesh mode)
+    if MESH and n_dev > 1:
+        # each shard compacts its own stragglers into its B2 slots
+        m2 = np.asarray(unconv).reshape(n_dev, -1).sum(1)
+        mask2 = np.zeros((n_dev, np.asarray(it2).size // n_dev), bool)
+        for d, k in enumerate(m2):
+            mask2[d, :k] = True
+        mask2 = mask2.reshape(-1)
+    else:
+        mask2 = np.zeros(np.asarray(it2).size, bool)
+        mask2[:n_straggler] = True
     n2 = int(np.sum(np.asarray(ok2)[mask2]))
     n_conv = n1 + n2
     total_iters = float(np.sum(np.asarray(it1))
                         + np.sum(np.asarray(it2)[mask2]))
-    log(f"bench: backend={jax.default_backend()} batch={B} alpha={ALPHA} "
-        f"phase1 converged={n1}/{B}, stragglers={n_straggler}, "
-        f"phase2 converged={n2} -> total {n_conv}/{B} "
-        f"({100.0 * n_conv / B:.2f}%)")
+    t = _median_time(run, reps)
+    log(f"cartpole: {n_conv}/{B} converged ({100.0 * n_conv / B:.2f}%), "
+        f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s, "
+        f"{total_iters / t:.3e} ADMM iters/s")
+    return dict(solves_per_sec=round(n_conv / t, 1),
+                iters_per_sec=round(total_iters / t, 1),
+                convergence=round(n_conv / B, 4), batch=B, devices=n_dev)
 
-    reps = 20
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    solves_per_sec = n_conv / t
-    log(f"bench: median batch time {t * 1e3:.2f} ms over {reps} reps; "
-        f"{solves_per_sec:.0f} converged solves/s; "
-        f"{total_iters / t:.2e} ADMM iters/s")
+
+def bench_quadrotor_adaptive(reps):
+    """Quadrotor hover with per-lane adaptive rho (BASELINE config 3;
+    /root/reference/examples/quadrotor_hover_codegen.jl:19-58)."""
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import make_problem, precompute_cache
+    from tinympc_julia_tpu.models import quadrotor
+    from tinympc_julia_tpu.ops.condensed import build_condensed_taylor
+    from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
+        make_condensed_adaptive_fused_solver)
+
+    dtype = jnp.float32
+    N = quadrotor.HORIZON
+    B = 4096 if QUICK else 16384
+    ub = quadrotor.U_HOVER_BOUND
+    p = make_problem(jnp.asarray(quadrotor.A, dtype),
+                     jnp.asarray(quadrotor.B, dtype),
+                     jnp.asarray(np.diag(quadrotor.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(quadrotor.R_DIAG), dtype),
+                     quadrotor.RHO, N, u_min=-ub, u_max=ub)
+    c = precompute_cache(p.A, p.B, p.Q, p.R,
+                         jnp.asarray(quadrotor.RHO, dtype))
+    tmaps = build_condensed_taylor(p, c)
+    fn = make_condensed_adaptive_fused_solver(
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
+        batch_tile=512, max_iter=500, en_input_bound=True,
+        en_state_bound=False, adaptive_rho_min=1.0, adaptive_rho_max=100.0)
+
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 12)), dtype)
+
+    def run():
+        out = fn(tmaps, p.u_min, p.u_max, p.x_min, p.x_max, x0s)
+        jax.block_until_ready(out[3])
+        return out
+
+    _, _, iters, solved, rho = run()
+    n_conv = int(np.sum(np.asarray(solved)))
+    total_iters = float(np.sum(np.asarray(iters)))
+    t = _median_time(run, reps)
+    log(f"quadrotor adaptive-rho: {n_conv}/{B} converged "
+        f"({100.0 * n_conv / B:.2f}%), rho span "
+        f"[{float(np.min(np.asarray(rho))):.2f}, "
+        f"{float(np.max(np.asarray(rho))):.2f}], median {t * 1e3:.2f} ms "
+        f"-> {n_conv / t:.0f} solves/s")
+    return dict(solves_per_sec=round(n_conv / t, 1),
+                iters_per_sec=round(total_iters / t, 1),
+                convergence=round(n_conv / B, 4), batch=B)
+
+
+def bench_rocket(reps):
+    """Rocket landing: box + state/input SOC + affine gravity (BASELINE
+    config 4; /root/reference/examples/rocket_landing_constraints.jl:17-62)."""
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import make_problem, precompute_cache, ConeSet
+    from tinympc_julia_tpu.models import rocket
+    from tinympc_julia_tpu.ops.condensed import build_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = rocket.HORIZON
+    B = 8192 if QUICK else 65536
+    xb = rocket.bounds()
+    p = make_problem(
+        jnp.asarray(rocket.A, dtype), jnp.asarray(rocket.B, dtype),
+        jnp.asarray(np.diag(rocket.Q_DIAG), dtype),
+        jnp.asarray(np.diag(rocket.R_DIAG), dtype), rocket.RHO, N,
+        f=jnp.asarray(rocket.F, dtype),
+        x_min=jnp.asarray(xb[0].T, dtype), x_max=jnp.asarray(xb[1].T, dtype),
+        u_min=-10.0, u_max=105.0,
+        cones_u=ConeSet(mus=jnp.asarray([rocket.MU_INPUT], dtype),
+                        starts=(0,), dims=(3,)),
+        cones_x=ConeSet(mus=jnp.asarray([rocket.MU_STATE], dtype),
+                        starts=(0,), dims=(3,)))
+    Xref, Uref = rocket.reference_trajectory(0)
+    p = p.replace(Xref=jnp.asarray(Xref.T, dtype),
+                  Uref=jnp.asarray(Uref.T, dtype))
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(rocket.RHO, dtype))
+    maps = build_condensed(p, c)
+    fn = make_condensed_fused_solver(
+        6, 3, N, batch_tile=2048, max_iter=100, abs_pri_tol=2e-3,
+        abs_dua_tol=1e-3, en_input_bound=True, en_state_bound=True,
+        check_termination=1,
+        soc_u=((0, 3, rocket.MU_INPUT),), soc_x=((0, 3, rocket.MU_STATE),))
+
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rocket.X_INIT[None, :]
+                      * rng.uniform(0.9, 1.1, size=(B, 1)), dtype)
+
+    def run():
+        out = fn(maps, c.rho, p.u_min, p.u_max, p.x_min, p.x_max, x0s)
+        jax.block_until_ready(out[3])
+        return out
+
+    _, _, iters, solved = run()
+    n_conv = int(np.sum(np.asarray(solved)))
+    total_iters = float(np.sum(np.asarray(iters)))
+    t = _median_time(run, reps)
+    log(f"rocket SOC: {n_conv}/{B} converged ({100.0 * n_conv / B:.2f}%), "
+        f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s")
+    return dict(solves_per_sec=round(n_conv / t, 1),
+                iters_per_sec=round(total_iters / t, 1),
+                convergence=round(n_conv / B, 4), batch=B)
+
+
+def bench_mpc_loop(reps):
+    """Closed-loop MPC steps/s: the all-Pallas fused loop (warm-carry
+    chained), cartpole plant (BASELINE config 2;
+    /root/reference/examples/cartpole_example_mpc.jl:30-51)."""
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import Settings, make_problem, precompute_cache
+    from tinympc_julia_tpu.models import cartpole
+    from tinympc_julia_tpu.parallel.mpc import make_fused_mpc_loop
+
+    dtype = jnp.float32
+    N = cartpole.HORIZON
+    B = 2048 if QUICK else 8192
+    n_steps = 100
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     cartpole.RHO, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(cartpole.RHO, dtype))
+    s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True,
+                 relaxation_alpha=1.7)
+    fused = make_fused_mpc_loop(p, c, s, n_steps)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+
+    def run():
+        res = fused(x0s)
+        jax.block_until_ready(res.us)
+        return res
+
+    res = run()
+    conv = float(np.asarray(res.solved).mean())
+    t = _median_time(run, reps)
+    steps = B * n_steps
+    log(f"fused MPC loop: {steps} closed-loop steps in {t * 1e3:.1f} ms "
+        f"-> {steps / t:.0f} steps/s ({100 * conv:.1f}% solved)")
+    return dict(steps_per_sec=round(steps / t, 1),
+                convergence=round(conv, 4), batch=B, n_steps=n_steps)
+
+
+def bench_randomized_sweep(reps):
+    """Domain-randomized quadrotor sweep (BASELINE config 5: '64k randomized
+    quadrotor instances'): G distinct plants/costs/bounds x L lanes on the
+    grouped fused kernel (parallel/grouped.py)."""
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import Settings, make_problem, precompute_cache
+    from tinympc_julia_tpu.models import quadrotor
+    from tinympc_julia_tpu.parallel.grouped import (GroupedBatchSolver,
+                                                    stack_instances)
+
+    dtype = jnp.float32
+    N = quadrotor.HORIZON
+    G = 4 if QUICK else 64
+    L = 512 if QUICK else 1024   # G*L = 64k lanes
+    rng = np.random.default_rng(4)
+    probs, caches = [], []
+    for g in range(G):
+        A = np.asarray(quadrotor.A) + rng.normal(scale=2e-3, size=(12, 12))
+        Bm = np.asarray(quadrotor.B) * rng.uniform(0.9, 1.1)
+        Qd = np.asarray(quadrotor.Q_DIAG) * rng.uniform(0.8, 1.25, size=12)
+        Rd = np.asarray(quadrotor.R_DIAG) * rng.uniform(0.8, 1.25, size=4)
+        ub = rng.uniform(0.4, 0.6)
+        p = make_problem(jnp.asarray(A, dtype), jnp.asarray(Bm, dtype),
+                         jnp.asarray(np.diag(Qd), dtype),
+                         jnp.asarray(np.diag(Rd), dtype), quadrotor.RHO, N,
+                         u_min=-ub, u_max=ub)
+        c = precompute_cache(p.A, p.B, p.Q, p.R,
+                             jnp.asarray(quadrotor.RHO, dtype))
+        probs.append(p)
+        caches.append(c)
+    gs = GroupedBatchSolver(
+        stack_instances(probs), stack_instances(caches),
+        Settings(max_iter=300, en_state_bound=False, en_input_bound=True,
+                 relaxation_alpha=1.7, check_termination=4))
+    x0s = rng.uniform(-0.25, 0.25, size=(G, L, 12))
+
+    def run():
+        return gs.solve_batch(x0s, method="fused")
+
+    _, _, iters, solved = run()
+    n_conv = int(solved.sum())
+    total_iters = float(iters.sum())
+    t = _median_time(run, reps)
+    log(f"randomized quadrotor sweep: G={G} problems x L={L} lanes, "
+        f"{n_conv}/{G * L} converged ({100.0 * n_conv / (G * L):.2f}%), "
+        f"median {t * 1e3:.1f} ms -> {n_conv / t:.0f} solves/s")
+    return dict(solves_per_sec=round(n_conv / t, 1),
+                iters_per_sec=round(total_iters / t, 1),
+                convergence=round(n_conv / (G * L), 4), groups=G, lanes=L)
+
+
+def main():
+    import jax
+    log(f"bench: backend={jax.default_backend()} devices={jax.device_count()}"
+        f" quick={QUICK} mesh={MESH}")
+    reps = 5 if QUICK else 20
+    reps_extra = 3 if QUICK else 10
+
+    cart = bench_cartpole(reps)
+    extra = {"cartpole": cart}
+    if not MESH:  # extras measure single-chip configs
+        extra["quadrotor_adaptive"] = bench_quadrotor_adaptive(reps_extra)
+        extra["rocket_soc"] = bench_rocket(reps_extra)
+        extra["mpc_loop_fused"] = bench_mpc_loop(reps_extra)
+        extra["randomized_quadrotor_sweep"] = bench_randomized_sweep(
+            reps_extra)
 
     print(json.dumps({
         "metric": "converged_cartpole_mpc_solves_per_sec_per_chip",
-        "value": round(solves_per_sec, 1),
+        "value": cart["solves_per_sec"],
         "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_sec / PER_CHIP_TARGET, 3),
+        "vs_baseline": round(cart["solves_per_sec"] / PER_CHIP_TARGET, 3),
+        "extra": extra,
     }))
 
 
