@@ -51,6 +51,40 @@ class TestSharded:
         np.testing.assert_array_equal(np.asarray(sol_sh.iter),
                                       np.asarray(sol_loc.iter))
 
+    def test_sharded_bitwise_f32(self):
+        """f32 sharded == per-shard-shaped local solve, BITWISE.
+
+        Regression for MULTICHIP_r02: the sharded f32 result differed from
+        the full-batch local f32 result by ~2e-6 — pure XLA reassociation
+        (batch B vs batch B/n compile different matmul orderings), not a
+        sharding bug. The sharding machinery itself (shard_map + psum vote)
+        must add exactly zero numerical effect, which this pins at the ulp
+        level by comparing against local solves at the per-shard batch shape.
+        """
+        p, c, s = _mk()
+        p32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), p)
+        c32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), c)
+        mesh = make_mesh()
+        n_dev = mesh.shape["batch"]
+        B = 2 * n_dev
+        rng = np.random.default_rng(7)
+        x0s = jnp.asarray(rng.uniform(-0.6, 0.6, size=(B, 4)), jnp.float32)
+        st = set_x0_batch(
+            broadcast_state(init_state(4, 1, 20, jnp.float32), B), x0s)
+        st_sh = shard_state(st, mesh)
+        _, _, sol_sh = solve_sharded(p32, c32, s, st_sh, mesh, vote=True)
+        per = B // n_dev
+        for i in range(n_dev):
+            sl = jax.tree_util.tree_map(lambda a: a[i * per:(i + 1) * per], st)
+            _, _, r = solve_batch(p32, c32, s, sl)
+            np.testing.assert_array_equal(
+                np.asarray(sol_sh.u)[i * per:(i + 1) * per], np.asarray(r.u))
+            np.testing.assert_array_equal(
+                np.asarray(sol_sh.iter)[i * per:(i + 1) * per],
+                np.asarray(r.iter))
+
     def test_sharded_output_sharding(self):
         p, c, s = _mk()
         mesh = make_mesh()
