@@ -329,3 +329,125 @@ def test_adaptive_fused_matches_xla_adaptive():
                                np.asarray(carry.rho)[both], rtol=1e-4)
     np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
                                atol=1e-4, rtol=1e-4)
+
+
+def test_adaptive_fused_warm_continuation_matches_xla():
+    """Adaptive kernel two-phase (carry_out -> warm_start continuation)
+    vs the XLA adaptive path doing the identical two-phase: per-lane
+    iteration counts, rho, and solutions agree.  This is the straggler
+    pipeline for adaptive workloads (VERDICT r2 item 2b)."""
+    from tinympc_julia_tpu.ops.condensed import (AdaptiveCondensedCarry,
+                                                 build_condensed_taylor,
+                                                 solve_condensed_adaptive)
+    from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
+        make_condensed_adaptive_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 128
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    tmaps = build_condensed_taylor(p, c, order=2)
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+    interp = jax.default_backend() != "tpu"
+    kw = dict(en_input_bound=True, en_state_bound=False,
+              adaptive_rho_min=0.5, adaptive_rho_max=5.0)
+
+    fn1 = make_condensed_adaptive_fused_solver(
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
+        batch_tile=64, max_iter=30, carry_out=True, interpret=interp, **kw)
+    fn2 = make_condensed_adaptive_fused_solver(
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
+        batch_tile=64, max_iter=400, warm_start=True, interpret=interp, **kw)
+
+    _, _, it1, ok1, rho1, carry = fn1(tmaps, p.u_min, p.u_max, p.x_min,
+                                      p.x_max, x0s)
+    xs2, us2, it2, ok2, rho2 = fn2(tmaps, p.u_min, p.u_max, p.x_min, p.x_max,
+                                   x0s, carry)
+
+    # XLA path, identical two-phase
+    s1 = Settings(max_iter=30, en_state_bound=False, en_input_bound=True,
+                  adaptive_rho=True, adaptive_rho_min=0.5,
+                  adaptive_rho_max=5.0)
+    s2 = s1.replace(max_iter=400)
+    _, _, jt1, jok1, jcarry = solve_condensed_adaptive(
+        p, c, s1, x0s, tmaps, return_carry=True)
+    jxs, jus, jt2, jok2, jc2 = solve_condensed_adaptive(
+        p, c, s2, x0s, tmaps, warm=jcarry, return_carry=True)
+
+    # phase 1: some but not all converge; kernel matches XLA per-lane
+    assert 0 < int(np.sum(np.asarray(ok1))) < B
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(jok1))
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(jt1))
+    # the kernel carry equals the XLA carry (f32 reassociation tolerance)
+    for a, b in zip(carry[:5], (jcarry.d, jcarry.y, jcarry.g, jcarry.v,
+                                jcarry.z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(carry.rho[0]),
+                               np.asarray(jcarry.rho), rtol=1e-5)
+
+    # phase 2 continuation agrees per-lane where both converge
+    both = (np.asarray(ok2) == 1) & (np.asarray(jok2) == 1)
+    assert both.mean() > 0.9
+    same = np.asarray(it2)[both] == np.asarray(jt2)[both]
+    assert same.mean() >= 0.95
+    np.testing.assert_allclose(np.asarray(rho2)[both][same],
+                               np.asarray(jc2.rho)[both][same], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(us2)[both][same],
+                               np.asarray(jus)[both][same],
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_adaptive_fused_check_termination():
+    """check_termination=5 on the adaptive kernel vs the XLA path with the
+    same setting: iteration counts land on multiples of 5 and match."""
+    from tinympc_julia_tpu.ops.condensed import (build_condensed_taylor,
+                                                 solve_condensed_adaptive)
+    from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
+        make_condensed_adaptive_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 64
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    tmaps = build_condensed_taylor(p, c, order=2)
+    rng = np.random.default_rng(6)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+
+    fn = make_condensed_adaptive_fused_solver(
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
+        batch_tile=64, max_iter=400, check_termination=5,
+        en_input_bound=True, en_state_bound=False,
+        adaptive_rho_min=0.5, adaptive_rho_max=5.0,
+        interpret=jax.default_backend() != "tpu")
+    _, us, iters, solved, rho = fn(tmaps, p.u_min, p.u_max, p.x_min,
+                                   p.x_max, x0s)
+
+    s = Settings(max_iter=400, check_termination=5, en_state_bound=False,
+                 en_input_bound=True, adaptive_rho=True,
+                 adaptive_rho_min=0.5, adaptive_rho_max=5.0)
+    _, us2, it2, ok2, jc = solve_condensed_adaptive(p, c, s, x0s, tmaps,
+                                                    return_carry=True)
+
+    conv = np.asarray(solved) == 1
+    assert conv.mean() > 0.85
+    assert (np.asarray(iters)[conv] % 5 == 0).all()
+    both = conv & (np.asarray(ok2) == 1)
+    np.testing.assert_array_equal(np.asarray(iters)[both],
+                                  np.asarray(it2)[both])
+    np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
+                               atol=1e-4, rtol=1e-4)

@@ -16,13 +16,21 @@ iteration maps; this kernel keeps that whole iteration VMEM-resident:
   terms are stacked-diagonal scalings, and the terminal Pinf(rho) row uses
   the Taylor pair (P0, dP).
 
-Scope: box constraints, shared problem, float32, fresh solves — the
-adaptive-rho throughput configuration (e.g. the quadrotor sweep).
-Semantics match solve_condensed_adaptive per lane with
-Settings.check_termination == 1 (the default): this kernel checks residuals
-every iteration; other check intervals are not supported here.
+Scope: box constraints, shared problem, float32 — the adaptive-rho
+throughput configuration (e.g. the quadrotor sweep).  Semantics match
+solve_condensed_adaptive per lane, including `check_termination=k`
+(residual/latch block only every k-th iteration) and the warm-start carry
+(AdaptiveFusedCarry mirrors ops/condensed.AdaptiveCondensedCarry: a
+continuation restarts the iteration counter, so the i>0 rho-update gate
+applies to the continuation's first iteration too — exactly the XLA path's
+warm semantics).  ``warm_start``/``carry_out`` enable the two-phase
+straggler pipeline for adaptive workloads (bulk pass, compact unconverged
+lanes, continue them warm).
 """
 from __future__ import annotations
+
+import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +44,18 @@ from ..rho import EPS
 from .condensed_kernel import _make_dot
 
 RHO_INTERVAL = 5  # admm.cpp:156
+
+
+class AdaptiveFusedCarry(NamedTuple):
+    """Warm-start carry of the adaptive fused kernel, stacked (dim, B)
+    layout — the kernel-side mirror of ops/condensed.AdaptiveCondensedCarry
+    (d/y/g/v/z plus the per-lane rho each lane ended on)."""
+    d: jax.Array    # (su, B)
+    y: jax.Array    # (su, B)
+    g: jax.Array    # (sx, B)
+    v: jax.Array    # (sx, B)
+    z: jax.Array    # (su, B)
+    rho: jax.Array  # (1, B)
 
 
 def _residual_maps(A, B, N):
@@ -69,14 +89,26 @@ def make_condensed_adaptive_fused_solver(
         relaxation_alpha: float = 1.0,
         adaptive_rho_min: float = 1.0, adaptive_rho_max: float = 100.0,
         adaptive_rho_clipping: bool = True,
+        check_termination: int = 1,
+        warm_start: bool = False, carry_out: bool = False,
         precision=jax.lax.Precision.HIGHEST,
         interpret: bool = False):
     """Build the jitted adaptive-rho fused solver.
 
     A, B, Qdiag, Rdiag (rho-folded diagonals), Pinf, dPinf: host numpy
     problem/cache data (shared across the batch).  Returns
-    solve_fn(tmaps: CondensedTaylorMaps, u_min, u_max, x_min, x_max, x0s) ->
-    (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,), rho (B,)).
+    solve_fn(tmaps: CondensedTaylorMaps, u_min, u_max, x_min, x_max, x0s
+    [, warm]) ->
+    (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,), rho (B,)[, carry]).
+
+    ``check_termination=k`` evaluates the residual/latch block only every
+    k-th iteration (Settings semantics); max_iter must be a multiple of
+    lcm(k, 5) so rho-update and check slots tile the unrolled loop body
+    statically.  With ``warm_start=True`` the extra ``warm`` argument is an
+    AdaptiveFusedCarry from a previous solve's ``carry_out=True`` result;
+    continuation semantics equal solve_condensed_adaptive's (the iteration
+    counter restarts, so the first local iteration never updates rho —
+    reference gate i > 0, admm.cpp:156).
 
     VMEM note: the stacked Taylor intermediates scale as
     (order+2)*(su+sx)*batch_tile floats of scoped VMEM; for larger models
@@ -91,8 +123,14 @@ def make_condensed_adaptive_fused_solver(
     in1 = su + nx + 1
     in2r = su + sx + 1
     alpha = relaxation_alpha
-    assert max_iter % RHO_INTERVAL == 0, \
-        "max_iter must be a multiple of the rho update interval (5)"
+    ct = check_termination
+    if ct < 1:
+        raise ValueError("check_termination must be >= 1 on the fused "
+                         f"adaptive kernel (got {ct})")
+    STEP = math.lcm(RHO_INTERVAL, ct)
+    assert max_iter % STEP == 0, \
+        (f"max_iter must be a multiple of lcm(check_termination, "
+         f"{RHO_INTERVAL}) = {STEP} (got {max_iter})")
     Dx_m, Du_m, Gx_m, Gu_m = _residual_maps(A, B, N)
     qd_m = np.asarray(Qdiag, np.float32).reshape(-1)
     rd_m = np.asarray(Rdiag, np.float32).reshape(-1)
@@ -102,10 +140,22 @@ def make_condensed_adaptive_fused_solver(
     dP_m = np.asarray(dPinf, np.float32)
     _dot = _make_dot(precision)
 
-    def kernel(T1s_r, T2s_r, rho0_r, umin_r, umax_r, xmin_r, xmax_r,
-               Dx_r, Du_r, Gx_r, Gu_r, qd_r, rd_r, P0_r, dP_r, x0_r,
-               xout_r, uout_r, iters_r, solved_r, rho_r,
-               y_s, g_s, vec1_s, vec2_s, rho_s, conv_s):
+    def kernel(*refs):
+        it = iter(refs)
+        (T1s_r, T2s_r, rho0_r, umin_r, umax_r, xmin_r, xmax_r,
+         Dx_r, Du_r, Gx_r, Gu_r, qd_r, rd_r, P0_r, dP_r,
+         x0_r) = (next(it) for _ in range(16))
+        if warm_start:
+            d0_r, y0_r, g0_r, v0_r, z0_r, rhoc_r = (
+                next(it) for _ in range(6))
+        xout_r, uout_r, iters_r, solved_r, rho_r = (
+            next(it) for _ in range(5))
+        if carry_out:
+            dco_r, yco_r, gco_r, vco_r, zco_r = (
+                next(it) for _ in range(5))
+        y_s, g_s, vec1_s, vec2_s, rho_s, conv_s = (
+            next(it) for _ in range(6))
+
         T1s = T1s_r[...]          # ((o+1)(su+sx), in1)
         T2s = T2s_r[...]          # (4 su, in2r)
         order = T1s.shape[0] // (su + sx) - 1
@@ -116,11 +166,25 @@ def make_condensed_adaptive_fused_solver(
         vec1_s[in1 - 1:in1, :] = jnp.ones_like(vec1_s[in1 - 1:in1, :])
         vec2_s[...] = jnp.zeros_like(vec2_s)
         vec2_s[in2r - 1:in2r, :] = jnp.ones_like(vec2_s[in2r - 1:in2r, :])
-        y_s[...] = jnp.zeros_like(y_s)
-        g_s[...] = jnp.zeros_like(g_s)
-        xout_r[...] = jnp.zeros_like(xout_r)
-        uout_r[...] = jnp.zeros_like(uout_r)
-        rho_s[...] = jnp.full_like(rho_s, rho0)
+        if warm_start:
+            vec1_s[:su] = d0_r[...]
+            y_s[...] = y0_r[...]
+            g_s[...] = g0_r[...]
+            xout_r[...] = v0_r[...]
+            uout_r[...] = z0_r[...]
+            rho_s[...] = rhoc_r[...]
+        else:
+            y_s[...] = jnp.zeros_like(y_s)
+            g_s[...] = jnp.zeros_like(g_s)
+            xout_r[...] = jnp.zeros_like(xout_r)
+            uout_r[...] = jnp.zeros_like(uout_r)
+            rho_s[...] = jnp.full_like(rho_s, rho0)
+        if carry_out:
+            # the v/z CARRY freezes at the pre-convergence iterate (the XLA
+            # path's AdaptiveCondensedCarry conv_all mask), while the v/z
+            # OUTPUT latches the converging vnew/znew — separate buffers
+            vco_r[...] = xout_r[...]
+            zco_r[...] = uout_r[...]
         conv_s[...] = jnp.zeros_like(conv_s)
         iters_r[...] = jnp.full_like(iters_r, max_iter)
         solved_r[...] = jnp.zeros_like(solved_r)
@@ -171,7 +235,7 @@ def make_condensed_adaptive_fused_solver(
                                    jnp.float32(adaptive_rho_max))
             return new_rho
 
-        def one_iter(i, update_slot):
+        def one_iter(i, update_slot, check):
             rho_b = rho_s[...]                       # (1, Bt)
             drho = rho_b - rho0
 
@@ -214,22 +278,29 @@ def make_condensed_adaptive_fused_solver(
                 rho_new = rho_b
             drho_new = rho_new - rho0
 
-            # termination: duals scale by the POST-update rho
-            ps = jnp.max(jnp.abs(x - vnew), axis=0)[None, :]
-            pi = jnp.max(jnp.abs(u - znew), axis=0)[None, :]
-            ds = jnp.max(jnp.abs(v - vnew), axis=0)[None, :] * rho_new
-            di = jnp.max(jnp.abs(z - znew), axis=0)[None, :] * rho_new
-            ok = ((ps < pri_tol) & (pi < pri_tol)
-                  & (ds < dua_tol) & (di < dua_tol))
-            newly = jnp.logical_and(ok, jnp.logical_not(prev))
+            if check:
+                # termination: duals scale by the POST-update rho
+                ps = jnp.max(jnp.abs(x - vnew), axis=0)[None, :]
+                pi = jnp.max(jnp.abs(u - znew), axis=0)[None, :]
+                ds = jnp.max(jnp.abs(v - vnew), axis=0)[None, :] * rho_new
+                di = jnp.max(jnp.abs(z - znew), axis=0)[None, :] * rho_new
+                ok = ((ps < pri_tol) & (pi < pri_tol)
+                      & (ds < dua_tol) & (di < dua_tol))
+                newly = jnp.logical_and(ok, jnp.logical_not(prev))
 
-            iters_r[...] = jnp.where(newly, i + 1, iters_r[...])
-            solved_r[...] = jnp.where(newly, 1, solved_r[...])
-            conv_all = jnp.logical_or(prev, newly)
-            conv_s[...] = conv_all.astype(jnp.int32)
+                iters_r[...] = jnp.where(newly, i + 1, iters_r[...])
+                solved_r[...] = jnp.where(newly, 1, solved_r[...])
+                conv_all = jnp.logical_or(prev, newly)
+                conv_s[...] = conv_all.astype(jnp.int32)
+            else:
+                conv_all = prev
 
             xout_r[...] = jnp.where(prev, v, vnew)
             uout_r[...] = jnp.where(prev, z, znew)
+            if carry_out:
+                # carry v/z do NOT advance on the converging iteration
+                vco_r[...] = jnp.where(conv_all, vco_r[...], vnew)
+                zco_r[...] = jnp.where(conv_all, zco_r[...], znew)
 
             # backward: cost fold at PRE-update rho, gain K at POST-update
             vec2_s[:su] = znew - y_new
@@ -241,15 +312,17 @@ def make_condensed_adaptive_fused_solver(
             vec1_s[:su] = jnp.where(conv_all, vec1_s[:su], d_new)
             rho_s[...] = rho_new
 
-            return jnp.all(conv_all)
+            return jnp.all(conv_all) if check else jnp.bool_(False)
 
         def body(carry):
             i, _ = carry
-            one_iter(i, True)  # update fires only when i > 0 (traced)
             done = jnp.bool_(False)
-            for k in range(1, RHO_INTERVAL):
-                done = one_iter(i + k, False)
-            return (i + RHO_INTERVAL, done)
+            for k in range(STEP):
+                # rho-update slots at k % 5 == 0 (fires only when the traced
+                # absolute iteration i + k > 0); residual checks every ct-th
+                done = one_iter(i + k, k % RHO_INTERVAL == 0,
+                                (k + 1) % ct == 0)
+            return (i + STEP, done)
 
         def cond(carry):
             i, done = carry
@@ -258,6 +331,10 @@ def make_condensed_adaptive_fused_solver(
         lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
         rho_r[...] = rho_s[...]
+        if carry_out:
+            dco_r[...] = vec1_s[:su]
+            yco_r[...] = y_s[...]
+            gco_r[...] = g_s[...]
 
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -267,7 +344,7 @@ def make_condensed_adaptive_fused_solver(
 
     @jax.jit
     def solve_fn(tmaps: CondensedTaylorMaps, u_min, u_max, x_min, x_max,
-                 x0s):
+                 x0s, warm: AdaptiveFusedCarry = None):
         Btot = x0s.shape[0]
         assert Btot % Bt == 0, f"batch {Btot} not a multiple of tile {Bt}"
         f32 = jnp.float32
@@ -286,15 +363,32 @@ def make_condensed_adaptive_fused_solver(
             x0s.T.astype(f32),
         ]
         in_specs = [shared] * 15 + [tile_spec(nx)]
-        out_specs = (tile_spec(sx), tile_spec(su), tile_spec(1),
-                     tile_spec(1), tile_spec(1))
-        out_shape = (
+        if warm_start:
+            if warm is None:
+                raise ValueError("warm_start solver needs the warm carry")
+            d0, y0, g0, v0, z0, rhoc = (w.astype(f32) for w in warm)
+            args += [d0, y0, g0, v0, z0, rhoc]
+            in_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+                         tile_spec(sx), tile_spec(su), tile_spec(1)]
+        elif warm is not None:
+            raise ValueError("pass warm only to a warm_start=True solver")
+        out_specs = [tile_spec(sx), tile_spec(su), tile_spec(1),
+                     tile_spec(1), tile_spec(1)]
+        out_shape = [
             jax.ShapeDtypeStruct((sx, Btot), f32),
             jax.ShapeDtypeStruct((su, Btot), f32),
             jax.ShapeDtypeStruct((1, Btot), jnp.int32),
             jax.ShapeDtypeStruct((1, Btot), jnp.int32),
             jax.ShapeDtypeStruct((1, Btot), f32),
-        )
+        ]
+        if carry_out:
+            out_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+                          tile_spec(sx), tile_spec(su)]
+            out_shape += [jax.ShapeDtypeStruct((su, Btot), f32),
+                          jax.ShapeDtypeStruct((su, Btot), f32),
+                          jax.ShapeDtypeStruct((sx, Btot), f32),
+                          jax.ShapeDtypeStruct((sx, Btot), f32),
+                          jax.ShapeDtypeStruct((su, Btot), f32)]
         scratch_shapes = [
             pltpu.VMEM((su, Bt), f32),    # y
             pltpu.VMEM((sx, Bt), f32),    # g
@@ -303,17 +397,22 @@ def make_condensed_adaptive_fused_solver(
             pltpu.VMEM((1, Bt), f32),     # rho
             pltpu.VMEM((1, Bt), jnp.int32),  # conv
         ]
-        vs, zs, iters, solved, rho = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(Btot // Bt,),
             in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(*args)
+        vs, zs, iters, solved, rho = out[:5]
         Bn = Btot
-        return (vs.T.reshape(Bn, N, nx), zs.T.reshape(Bn, N - 1, nu),
-                iters[0], solved[0], rho[0])
+        res = (vs.T.reshape(Bn, N, nx), zs.T.reshape(Bn, N - 1, nu),
+               iters[0], solved[0], rho[0])
+        if carry_out:
+            return res + (AdaptiveFusedCarry(out[5], out[6], out[7],
+                                             out[8], out[9], rho),)
+        return res
 
     return solve_fn
