@@ -138,18 +138,30 @@ def bench_cartpole(reps):
 
 def bench_quadrotor_adaptive(reps):
     """Quadrotor hover with per-lane adaptive rho (BASELINE config 3;
-    /root/reference/examples/quadrotor_hover_codegen.jl:19-58)."""
+    /root/reference/examples/quadrotor_hover_codegen.jl:19-58), two-phase
+    straggler pipeline in one dispatch.
+
+    adaptive_rho_min == rho0 (5.0): on state-dominant box problems the
+    reference's OSQP-residual controller saturates at normalized_pri == 1,
+    normalized_dual == 2 exactly (rho_benchmark.cpp:146-197 — the rollout
+    satisfies dynamics exactly and v == x with state bounds off), so rho
+    decays by sqrt(1/2) every 5 iterations to whatever floor is set; at a
+    floor far below rho0 the first-order Taylor cache is inconsistent
+    enough to plateau the primal residual above tolerance.  Clipping at
+    rho0 is the measured-best legitimate setting; see docs/DESIGN.md
+    "Adaptive-rho convergence" for the full investigation."""
     import jax
     import jax.numpy as jnp
     from tinympc_julia_tpu import make_problem, precompute_cache
     from tinympc_julia_tpu.models import quadrotor
     from tinympc_julia_tpu.ops.condensed import build_condensed_taylor
     from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
-        make_condensed_adaptive_fused_solver)
+        AdaptiveFusedCarry, make_condensed_adaptive_fused_solver)
 
     dtype = jnp.float32
     N = quadrotor.HORIZON
     B = 4096 if QUICK else 16384
+    B2 = 1024 if QUICK else 4096   # straggler slots (~12% at max_iter=150)
     ub = quadrotor.U_HOVER_BOUND
     p = make_problem(jnp.asarray(quadrotor.A, dtype),
                      jnp.asarray(quadrotor.B, dtype),
@@ -159,29 +171,49 @@ def bench_quadrotor_adaptive(reps):
     c = precompute_cache(p.A, p.B, p.Q, p.R,
                          jnp.asarray(quadrotor.RHO, dtype))
     tmaps = build_condensed_taylor(p, c)
-    fn = make_condensed_adaptive_fused_solver(
+    kw = dict(en_input_bound=True, en_state_bound=False,
+              adaptive_rho_min=5.0, adaptive_rho_max=100.0)
+    mk = lambda **k: make_condensed_adaptive_fused_solver(  # noqa: E731
         np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
         np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
-        batch_tile=512, max_iter=500, en_input_bound=True,
-        en_state_bound=False, adaptive_rho_min=1.0, adaptive_rho_max=100.0)
+        batch_tile=512, **kw, **k)
+    fn1 = mk(max_iter=150, carry_out=True)
+    fn2 = mk(max_iter=2500, warm_start=True)
 
     rng = np.random.default_rng(1)
     x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 12)), dtype)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+
+    @jax.jit
+    def pipeline(x0s):
+        _, _, it1, ok1, rho1, carry = fn1(tmaps, *bounds, x0s)
+        unconv = ok1 == 0
+        idx = jnp.nonzero(unconv, size=B2, fill_value=0)[0]
+        warm = AdaptiveFusedCarry(*(w[:, idx] for w in carry))
+        _, _, it2, ok2, rho2 = fn2(tmaps, *bounds, x0s[idx], warm)
+        return it1, ok1, rho1, it2, ok2, rho2, unconv
 
     def run():
-        out = fn(tmaps, p.u_min, p.u_max, p.x_min, p.x_max, x0s)
-        jax.block_until_ready(out[3])
+        out = pipeline(x0s)
+        jax.block_until_ready(out[4])
         return out
 
-    _, _, iters, solved, rho = run()
-    n_conv = int(np.sum(np.asarray(solved)))
-    total_iters = float(np.sum(np.asarray(iters)))
+    it1, ok1, rho1, it2, ok2, rho2, unconv = run()
+    n1 = int(np.sum(np.asarray(ok1)))
+    n_straggler = int(np.sum(np.asarray(unconv)))
+    mask2 = np.zeros(np.asarray(it2).size, bool)
+    mask2[:n_straggler] = True
+    n2 = int(np.sum(np.asarray(ok2)[mask2]))
+    n_conv = n1 + n2
+    total_iters = float(np.sum(np.asarray(it1))
+                        + np.sum(np.asarray(it2)[mask2]))
     t = _median_time(run, reps)
+    rho_all = np.concatenate([np.asarray(rho1)[~np.asarray(unconv)],
+                              np.asarray(rho2)[mask2]])
     log(f"quadrotor adaptive-rho: {n_conv}/{B} converged "
-        f"({100.0 * n_conv / B:.2f}%), rho span "
-        f"[{float(np.min(np.asarray(rho))):.2f}, "
-        f"{float(np.max(np.asarray(rho))):.2f}], median {t * 1e3:.2f} ms "
-        f"-> {n_conv / t:.0f} solves/s")
+        f"({100.0 * n_conv / B:.2f}%), {n_straggler} stragglers, rho span "
+        f"[{rho_all.min():.2f}, {rho_all.max():.2f}], "
+        f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s")
     return dict(solves_per_sec=round(n_conv / t, 1),
                 iters_per_sec=round(total_iters / t, 1),
                 convergence=round(n_conv / B, 4), batch=B)
