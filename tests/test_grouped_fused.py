@@ -116,3 +116,39 @@ class TestGroupedFused:
         # and the condensed path actually handles it
         xs, us, iters, solved = gs.solve_batch(x0s, method="condensed")
         assert xs.shape == (G, 8, 10, 6)
+
+
+class TestAdviceRegressions:
+    def test_single_group_fused(self):
+        """G=1 is a valid GroupedBatchSolver config on method='fused'
+        (ADVICE r2 medium: the 3-D x0s flatten was gated on G > 1 and the
+        solve crashed on the groups*tile assertion)."""
+        G, L = 1, 16
+        probs, caches = _groups(cartpole, G, rho=1.0, ub_range=(3.0, 6.0),
+                                N=20, seed=6)
+        s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True)
+        gs = GroupedBatchSolver(probs, caches, s)
+        rng = np.random.default_rng(7)
+        x0s = rng.uniform(-0.5, 0.5, size=(G, L, 4))
+        xs_f, us_f, it_f, sv_f = gs.solve_batch(x0s, method="fused")
+        xs_c, us_c, it_c, sv_c = gs.solve_batch(x0s, method="condensed")
+        np.testing.assert_array_equal(it_c, it_f)
+        np.testing.assert_array_equal(sv_c, sv_f)
+        np.testing.assert_allclose(us_c, us_f, atol=2e-4)
+        assert sv_f.sum() > 0
+
+    def test_traced_tolerance_settings_fused_cache(self):
+        """Settings with jax-array tolerances (traced leaves, unhashable)
+        still work as fused-solver cache keys (ADVICE r2 low: Settings was
+        used directly as a dict key)."""
+        G, L = 2, 8
+        probs, caches = _groups(cartpole, G, rho=1.0, ub_range=(3.0, 6.0),
+                                N=20, seed=8)
+        s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True,
+                     abs_pri_tol=jnp.asarray(1e-3),
+                     abs_dua_tol=jnp.asarray(1e-3))
+        gs = GroupedBatchSolver(probs, caches, s)
+        rng = np.random.default_rng(9)
+        x0s = rng.uniform(-0.5, 0.5, size=(G, L, 4))
+        xs, us, iters, solved = gs.solve_batch(x0s, method="fused")
+        assert solved.sum() > 0

@@ -397,7 +397,8 @@ class TinyMPCSolver:
         x0s_p = x0s if Btot == B else jnp.concatenate(
             [x0s, jnp.zeros((Btot - B, p.nx), x0s.dtype)], axis=0)
         interpret = jax.default_backend() != "tpu"
-        key = (s, Bt, interpret)
+        from .types import settings_bake_key
+        key = (settings_bake_key(s), Bt, interpret)
         fn = self._fused_solvers.get(key)
 
         if s.adaptive_rho:

@@ -383,10 +383,14 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
     def solve_fn(maps: CondensedMaps, rho, u_min, u_max, x_min, x_max, x0s,
                  warm=None):
         f32 = jnp.float32
-        if G > 1:
-            assert x0s.ndim == 3 and x0s.shape[0] == G, \
+        if x0s.ndim == 3:
+            # grouped layout (G, L, nx) — also valid at G == 1
+            assert x0s.shape[0] == G, \
                 f"grouped solver needs x0s (G={G}, L, nx); got {x0s.shape}"
             x0s = x0s.reshape(G * x0s.shape[1], x0s.shape[2])
+        elif G > 1:
+            assert x0s.shape[0] % G == 0, \
+                f"flat x0s batch {x0s.shape[0]} not divisible by G={G}"
         Btot = x0s.shape[0]
         assert Btot % (G * Bt) == 0, \
             f"batch {Btot} not a multiple of groups*tile {G}*{Bt}"

@@ -184,7 +184,8 @@ class GroupedBatchSolver:
         x0s_p = x0s if Lp == L else jnp.concatenate(
             [x0s, jnp.zeros((G, Lp - L, self.nx), x0s.dtype)], axis=1)
         interpret = jax.default_backend() != "tpu"
-        key = (s, Bt, interpret)
+        from ..types import settings_bake_key
+        key = (settings_bake_key(s), Bt, interpret)
         fn = self._fused_solvers.get(key)
         if fn is None:
             fn = make_condensed_fused_solver(

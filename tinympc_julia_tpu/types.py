@@ -141,6 +141,19 @@ class Settings:
     adaptive_rho_enable_clipping: bool = struct.field(pytree_node=False, default=True)
 
 
+def settings_bake_key(s: Settings) -> tuple:
+    """Hashable cache key for Pallas kernel factories that BAKE a Settings
+    (documented carve-out: the fused kernels take tolerances/rho-limits as
+    build-time floats).  The Settings pytree itself is not a safe dict key —
+    traced leaves may be jax arrays (unhashable)."""
+    return (float(s.abs_pri_tol), float(s.abs_dua_tol),
+            float(s.adaptive_rho_min), float(s.adaptive_rho_max),
+            float(s.relaxation_alpha), s.max_iter, s.check_termination,
+            s.en_state_bound, s.en_input_bound, s.en_state_soc,
+            s.en_input_soc, s.en_state_linear, s.en_input_linear,
+            s.adaptive_rho, s.adaptive_rho_enable_clipping)
+
+
 def default_settings() -> Settings:
     """Library defaults, mirroring TINY_DEFAULT_* constants
     (/root/reference/src/codegen_src/tinympc/tiny_api_constants.hpp:5-10) and the
