@@ -21,6 +21,8 @@
 #include <cmath>
 #include <cstdio>
 #include <cstring>
+#include <filesystem>
+#include <fstream>
 #include <memory>
 #include <string>
 #include <vector>
@@ -488,6 +490,297 @@ int Solver::solve() {
 // (/root/reference/src/bindings.cpp; SURVEY.md §2.2 table).
 // ---------------------------------------------------------------------------
 
+namespace tinympc_native {
+
+// --- codegen emitter --------------------------------------------------------
+// C-ABI analog of the reference's tiny_codegen (codegen.cpp:56-68, exposed
+// via bindings.cpp:210-225,298-331).  Emits the SAME project layout and file
+// contents as the Python emitter (tinympc_julia_tpu/codegen/emitter.py) —
+// the templates are baked in from that single source of truth by
+// tools/gen_native_inc.py.
+
+#include "codegen_templates.inc"
+
+static std::string fmt_g(real v) {
+  char buf[64];
+  std::snprintf(buf, sizeof buf, "%.17g", v);
+  return buf;
+}
+
+static std::string array_literal_1d(const std::string& name, const real* a,
+                                    int n) {
+  std::string s = "static const tiny_float " + name + "[" +
+                  std::to_string(n) + "] = {";
+  for (int j = 0; j < n; ++j) {
+    if (j) s += ", ";
+    s += fmt_g(a[j]);
+  }
+  return s + "};";
+}
+
+static std::string array_literal_2d(const std::string& name, const real* a,
+                                    int rows, int cols) {
+  std::string s = "static const tiny_float " + name + "[" +
+                  std::to_string(rows) + "][" + std::to_string(cols) +
+                  "] = {\n";
+  for (int i = 0; i < rows; ++i) {
+    s += "    {";
+    for (int j = 0; j < cols; ++j) {
+      if (j) s += ", ";
+      s += fmt_g(a[i * cols + j]);
+    }
+    s += "}";
+    if (i + 1 < rows) s += ",\n";
+  }
+  return s + "};";
+}
+
+static std::string int_array_literal(const std::string& name,
+                                     const vector<int>& a) {
+  std::string s = "static const int " + name + "[" +
+                  std::to_string(a.size()) + "] = {";
+  for (size_t j = 0; j < a.size(); ++j) {
+    if (j) s += ", ";
+    s += std::to_string(a[j]);
+  }
+  return s + "};";
+}
+
+static void copy2d(const std::string& dst, const std::string& src, int rows,
+                   int cols, vector<std::string>& lines) {
+  lines.push_back("  for (int i = 0; i < " + std::to_string(rows) + "; ++i)");
+  lines.push_back("    for (int j = 0; j < " + std::to_string(cols) +
+                  "; ++j)");
+  lines.push_back("      " + dst + "[i][j] = " + src + "[i][j];");
+}
+
+static void copy1d(const std::string& dst, const std::string& src, int n,
+                   vector<std::string>& lines) {
+  lines.push_back("  for (int j = 0; j < " + std::to_string(n) + "; ++j) " +
+                  dst + "[j] = " + src + "[j];");
+}
+
+static std::string replace_all(std::string s, const std::string& from,
+                               const std::string& to) {
+  for (size_t pos = 0; (pos = s.find(from, pos)) != std::string::npos;
+       pos += to.size())
+    s.replace(pos, from.size(), to);
+  return s;
+}
+
+static std::string generate_data_source(const Solver& sv) {
+  const int nx = sv.nx, nu = sv.nu, N = sv.N;
+  const bool has_sens = sv.settings.adaptive_rho != 0;
+  vector<std::string> parts;
+  parts.push_back("#include \"tiny_data.hpp\"\n");
+  parts.push_back(array_literal_2d("g_Adyn", sv.A.data(), nx, nx));
+  parts.push_back(array_literal_2d("g_Bdyn", sv.B.data(), nx, nu));
+  parts.push_back(array_literal_1d("g_fdyn", sv.f.data(), nx));
+  parts.push_back(array_literal_1d("g_Q", sv.Qd.data(), nx));
+  parts.push_back(array_literal_1d("g_R", sv.Rd.data(), nu));
+  parts.push_back(array_literal_2d("g_Kinf", sv.cache.Kinf.data(), nu, nx));
+  parts.push_back(array_literal_2d("g_Pinf", sv.cache.Pinf.data(), nx, nx));
+  parts.push_back(
+      array_literal_2d("g_Quu_inv", sv.cache.Quu_inv.data(), nu, nu));
+  parts.push_back(array_literal_2d("g_AmBKt", sv.cache.AmBKt.data(), nx, nx));
+  if (has_sens) {
+    parts.push_back(array_literal_2d("g_dKinf", sv.cache.dKinf.data(), nu, nx));
+    parts.push_back(array_literal_2d("g_dPinf", sv.cache.dPinf.data(), nx, nx));
+    parts.push_back(array_literal_2d("g_dC1", sv.cache.dC1.data(), nu, nu));
+    parts.push_back(array_literal_2d("g_dC2", sv.cache.dC2.data(), nx, nx));
+  }
+  const real big = 1e30;
+  auto clipped = [&](const vector<real>& a) {
+    vector<real> out(a.size());
+    for (size_t i = 0; i < a.size(); ++i)
+      out[i] = std::fmin(std::fmax(a[i], -big), big);
+    return out;
+  };
+  parts.push_back(array_literal_2d("g_x_min", clipped(sv.x_min).data(), N, nx));
+  parts.push_back(array_literal_2d("g_x_max", clipped(sv.x_max).data(), N, nx));
+  parts.push_back(
+      array_literal_2d("g_u_min", clipped(sv.u_min).data(), N - 1, nu));
+  parts.push_back(
+      array_literal_2d("g_u_max", clipped(sv.u_max).data(), N - 1, nu));
+  parts.push_back(array_literal_2d("g_Xref", sv.Xref.data(), N, nx));
+  parts.push_back(array_literal_2d("g_Uref", sv.Uref.data(), N - 1, nu));
+  // Warm-start iterates (the reference bakes the live workspace,
+  // codegen.cpp:212-258)
+  const struct { const char* nm; const vector<real>* a; int rows, cols; } ws[] =
+      {{"x", &sv.x, N, nx},       {"u", &sv.u, N - 1, nu},
+       {"q", &sv.q, N, nx},       {"r", &sv.r, N - 1, nu},
+       {"p", &sv.p, N, nx},       {"d", &sv.d, N - 1, nu},
+       {"v", &sv.v, N, nx},       {"vnew", &sv.vnew, N, nx},
+       {"z", &sv.z, N - 1, nu},   {"znew", &sv.znew, N - 1, nu},
+       {"g", &sv.g, N, nx},       {"y", &sv.y, N - 1, nu}};
+  for (const auto& w : ws)
+    parts.push_back(array_literal_2d(std::string("g_ws_") + w.nm,
+                                     w.a->data(), w.rows, w.cols));
+  const int n_lin_x = sv.blin_x.empty() ? 0 : (int)sv.blin_x.size();
+  const int n_lin_u = sv.blin_u.empty() ? 0 : (int)sv.blin_u.size();
+  if (n_lin_x) {
+    parts.push_back(array_literal_2d("g_Alin_x", sv.Alin_x.data(), n_lin_x, nx));
+    parts.push_back(array_literal_1d("g_blin_x", sv.blin_x.data(), n_lin_x));
+  }
+  if (n_lin_u) {
+    parts.push_back(array_literal_2d("g_Alin_u", sv.Alin_u.data(), n_lin_u, nu));
+    parts.push_back(array_literal_1d("g_blin_u", sv.blin_u.data(), n_lin_u));
+  }
+  if (!sv.cone_x_start.empty()) {
+    parts.push_back(int_array_literal("g_cone_x_start", sv.cone_x_start));
+    parts.push_back(int_array_literal("g_cone_x_dim", sv.cone_x_dim));
+    parts.push_back(array_literal_1d("g_cone_x_mu", sv.cone_x_mu.data(),
+                                     (int)sv.cone_x_mu.size()));
+  }
+  if (!sv.cone_u_start.empty()) {
+    parts.push_back(int_array_literal("g_cone_u_start", sv.cone_u_start));
+    parts.push_back(int_array_literal("g_cone_u_dim", sv.cone_u_dim));
+    parts.push_back(array_literal_1d("g_cone_u_mu", sv.cone_u_mu.data(),
+                                     (int)sv.cone_u_mu.size()));
+  }
+
+  vector<std::string> lines = {"", "TinySolver tiny_solver;", "",
+                               "static int init_solver() {",
+                               "  tiny_solver.cache.rho = " +
+                                   fmt_g(sv.cache.rho) + ";"};
+  copy2d("tiny_solver.cache.Kinf", "g_Kinf", nu, nx, lines);
+  copy2d("tiny_solver.cache.Pinf", "g_Pinf", nx, nx, lines);
+  copy2d("tiny_solver.cache.Quu_inv", "g_Quu_inv", nu, nu, lines);
+  copy2d("tiny_solver.cache.AmBKt", "g_AmBKt", nx, nx, lines);
+  if (has_sens) {
+    copy2d("tiny_solver.cache.dKinf_drho", "g_dKinf", nu, nx, lines);
+    copy2d("tiny_solver.cache.dPinf_drho", "g_dPinf", nx, nx, lines);
+    copy2d("tiny_solver.cache.dC1_drho", "g_dC1", nu, nu, lines);
+    copy2d("tiny_solver.cache.dC2_drho", "g_dC2", nx, nx, lines);
+  }
+  const std::string w = "tiny_solver.work";
+  copy1d(w + ".Q", "g_Q", nx, lines);
+  copy1d(w + ".R", "g_R", nu, lines);
+  copy2d(w + ".Adyn", "g_Adyn", nx, nx, lines);
+  copy2d(w + ".Bdyn", "g_Bdyn", nx, nu, lines);
+  copy1d(w + ".fdyn", "g_fdyn", nx, lines);
+  const struct { const char* nm; int rows, cols; } bnds[] = {
+      {"x_min", N, nx}, {"x_max", N, nx}, {"u_min", N - 1, nu},
+      {"u_max", N - 1, nu}, {"Xref", N, nx}, {"Uref", N - 1, nu}};
+  for (const auto& b : bnds)
+    copy2d(w + "." + b.nm, std::string("g_") + b.nm, b.rows, b.cols, lines);
+  for (const char* nm : {"x", "q", "p", "v", "vnew", "g"})
+    copy2d(w + "." + nm, std::string("g_ws_") + nm, N, nx, lines);
+  for (const char* nm : {"u", "r", "d", "z", "znew", "y"})
+    copy2d(w + "." + nm, std::string("g_ws_") + nm, N - 1, nu, lines);
+  if (n_lin_x) {
+    copy2d(w + ".Alin_x", "g_Alin_x", n_lin_x, nx, lines);
+    copy1d(w + ".blin_x", "g_blin_x", n_lin_x, lines);
+  }
+  if (n_lin_u) {
+    copy2d(w + ".Alin_u", "g_Alin_u", n_lin_u, nu, lines);
+    copy1d(w + ".blin_u", "g_blin_u", n_lin_u, lines);
+  }
+  if (!sv.cone_x_start.empty()) {
+    const int k = (int)sv.cone_x_start.size();
+    copy1d(w + ".cone_x_start", "g_cone_x_start", k, lines);
+    copy1d(w + ".cone_x_dim", "g_cone_x_dim", k, lines);
+    copy1d(w + ".cone_x_mu", "g_cone_x_mu", k, lines);
+  }
+  if (!sv.cone_u_start.empty()) {
+    const int k = (int)sv.cone_u_start.size();
+    copy1d(w + ".cone_u_start", "g_cone_u_start", k, lines);
+    copy1d(w + ".cone_u_dim", "g_cone_u_dim", k, lines);
+    copy1d(w + ".cone_u_mu", "g_cone_u_mu", k, lines);
+  }
+  const Settings& s = sv.settings;
+  const std::string se = "tiny_solver.settings";
+  lines.push_back("  " + se + ".abs_pri_tol = " + fmt_g(s.abs_pri_tol) + ";");
+  lines.push_back("  " + se + ".abs_dua_tol = " + fmt_g(s.abs_dua_tol) + ";");
+  lines.push_back("  " + se + ".max_iter = " + std::to_string(s.max_iter) +
+                  ";");
+  lines.push_back("  " + se + ".check_termination = " +
+                  std::to_string(s.check_termination) + ";");
+  lines.push_back("  " + se + ".en_state_bound = " +
+                  std::to_string(s.en_state_bound) + ";");
+  lines.push_back("  " + se + ".en_input_bound = " +
+                  std::to_string(s.en_input_bound) + ";");
+  lines.push_back("  " + se + ".en_state_soc = " +
+                  std::to_string(s.en_state_soc) + ";");
+  lines.push_back("  " + se + ".en_input_soc = " +
+                  std::to_string(s.en_input_soc) + ";");
+  lines.push_back("  " + se + ".en_state_linear = " +
+                  std::to_string(s.en_state_linear) + ";");
+  lines.push_back("  " + se + ".en_input_linear = " +
+                  std::to_string(s.en_input_linear) + ";");
+  lines.push_back("  " + se + ".adaptive_rho = " +
+                  std::to_string(s.adaptive_rho) + ";");
+  lines.push_back("  " + se + ".adaptive_rho_min = " +
+                  fmt_g(s.adaptive_rho_min) + ";");
+  lines.push_back("  " + se + ".adaptive_rho_max = " +
+                  fmt_g(s.adaptive_rho_max) + ";");
+  lines.push_back("  " + se + ".adaptive_rho_enable_clipping = " +
+                  std::to_string(s.adaptive_rho_enable_clipping) + ";");
+  lines.push_back("  return 0;");
+  lines.push_back("}");
+  lines.push_back("");
+  lines.push_back("static const int g_initialized = init_solver();");
+  std::string block;
+  for (size_t i = 0; i < lines.size(); ++i) {
+    if (i) block += "\n";
+    block += lines[i];
+  }
+  parts.push_back(block);
+  std::string out;
+  for (size_t i = 0; i < parts.size(); ++i) {
+    if (i) out += "\n\n";
+    out += parts[i];
+  }
+  return out + "\n";
+}
+
+static int emit_project(const Solver& sv, const char* output_dir,
+                        int verbose) {
+  namespace fs = std::filesystem;
+  std::error_code ec;
+  const fs::path out(output_dir);
+  fs::create_directories(out / "src", ec);
+  fs::create_directories(out / "tinympc", ec);
+  fs::create_directories(out / "build", ec);
+  if (ec) {
+    std::fprintf(stderr, "codegen: cannot create %s\n", output_dir);
+    return -1;
+  }
+  const int n_lin_x = (int)sv.blin_x.size();
+  const int n_lin_u = (int)sv.blin_u.size();
+  std::string header = kHeaderTemplate;
+  header = replace_all(header, "@NX@", std::to_string(sv.nx));
+  header = replace_all(header, "@NU@", std::to_string(sv.nu));
+  header = replace_all(header, "@NH@", std::to_string(sv.N));
+  header = replace_all(header, "@NLINX@", std::to_string(n_lin_x));
+  header = replace_all(header, "@NLINU@", std::to_string(n_lin_u));
+  header = replace_all(header, "@NCONEX@",
+                       std::to_string(sv.cone_x_start.size()));
+  header = replace_all(header, "@NCONEU@",
+                       std::to_string(sv.cone_u_start.size()));
+  header = replace_all(header, "@HASSENS@",
+                       sv.settings.adaptive_rho ? "1" : "0");
+  auto write = [&](const fs::path& p, const std::string& text) {
+    std::ofstream f(p);
+    f << text;
+    return f.good();
+  };
+  if (!write(out / "tinympc" / "tiny_data.hpp", header) ||
+      !write(out / "src" / "tiny_data.cpp", generate_data_source(sv)) ||
+      !write(out / "src" / "tiny_main.cpp", kMainTemplate) ||
+      !write(out / "CMakeLists.txt", kCMakeTemplate) ||
+      !write(out / "tinympc" / "tinympc_solver.hpp", kSolverTemplate)) {
+    std::fprintf(stderr, "codegen: write failed under %s\n", output_dir);
+    return -1;
+  }
+  if (verbose)
+    std::printf("Code generation completed successfully in: %s\n",
+                output_dir);
+  return 0;
+}
+
+}  // namespace tinympc_native
+
 using tinympc_native::Solver;
 static std::unique_ptr<Solver> g_solver;
 
@@ -678,6 +971,52 @@ int set_sensitivity_terms(double* dK_data, int dK_rows, int dK_cols,
   return 0;
 }
 
+int codegen(const char* output_dir, int verbose) {
+  // /root/reference/src/bindings.cpp:210-225
+  if (!g_solver) return -1;
+  int status = tinympc_native::emit_project(*g_solver, output_dir, verbose);
+  if (verbose)
+    std::printf("Code generation completed with status: %d\n", status);
+  return status;
+}
+
+int codegen_with_sensitivity(const char* output_dir, double* dK_data,
+                             int dK_rows, int dK_cols, double* dP_data,
+                             int dP_rows, int dP_cols, double* dC1_data,
+                             int dC1_rows, int dC1_cols, double* dC2_data,
+                             int dC2_rows, int dC2_cols, int verbose) {
+  // /root/reference/src/bindings.cpp:298-331 — stores the sensitivities in
+  // the cache, then emits (the generated project bakes them iff
+  // settings.adaptive_rho, codegen.cpp:79-85 semantics).
+  if (!g_solver) return -1;
+  if (dK_rows != g_solver->nu || dK_cols != g_solver->nx ||
+      dP_rows != g_solver->nx || dP_cols != g_solver->nx ||
+      dC1_rows != g_solver->nu || dC1_cols != g_solver->nu ||
+      dC2_rows != g_solver->nx || dC2_cols != g_solver->nx) {
+    std::fprintf(stderr, "codegen_with_sensitivity: dimension mismatch\n");
+    return -1;
+  }
+  g_solver->cache.dKinf = from_colmajor(dK_data, dK_rows, dK_cols);
+  g_solver->cache.dPinf = from_colmajor(dP_data, dP_rows, dP_cols);
+  g_solver->cache.dC1 = from_colmajor(dC1_data, dC1_rows, dC1_cols);
+  g_solver->cache.dC2 = from_colmajor(dC2_data, dC2_rows, dC2_cols);
+  int status = tinympc_native::emit_project(*g_solver, output_dir, verbose);
+  if (verbose)
+    std::printf("Code generation with sensitivity completed with status: %d\n",
+                status);
+  return status;
+}
+
+static void print_matrix(const char* name, const std::vector<double>& a,
+                         int rows, int cols) {
+  std::printf("%s:\n", name);
+  for (int i = 0; i < rows; ++i) {
+    for (int j = 0; j < cols; ++j)
+      std::printf("%s%.6g", j ? " " : "", a[i * cols + j]);
+    std::printf("\n");
+  }
+}
+
 int print_problem_data(int verbose) {
   if (!g_solver) return -1;
   std::printf("=== TinyMPC Problem Data ===\n");
@@ -688,6 +1027,17 @@ int print_problem_data(int verbose) {
               g_solver->settings.max_iter, g_solver->settings.abs_pri_tol,
               g_solver->settings.abs_dua_tol);
   std::printf("Problem: nx=%d, nu=%d\n", g_solver->nx, g_solver->nu);
+  if (verbose) {
+    // matrix dump under verbose (bindings.cpp:245-251); solution arrays are
+    // stage-major internally == (nx, N) column-major, print stage rows
+    print_matrix("States x", g_solver->sol_x, g_solver->N, g_solver->nx);
+    print_matrix("Controls u", g_solver->sol_u, g_solver->N - 1,
+                 g_solver->nu);
+    print_matrix("Cache Kinf", g_solver->cache.Kinf, g_solver->nu,
+                 g_solver->nx);
+    print_matrix("Cache Pinf", g_solver->cache.Pinf, g_solver->nx,
+                 g_solver->nx);
+  }
   return 0;
 }
 

@@ -27,17 +27,41 @@ _D = ctypes.POINTER(ctypes.c_double)
 _I = ctypes.POINTER(ctypes.c_int)
 
 
+def _gen_templates_inc() -> str:
+    """(Re)generate native/codegen_templates.inc from the Python emitter's
+    templates when stale; returns its path."""
+    repo = os.path.dirname(_NATIVE_DIR)
+    inc = os.path.join(_NATIVE_DIR, "codegen_templates.inc")
+    deps = [os.path.join(repo, "tools", "gen_native_inc.py"),
+            os.path.join(repo, "tinympc_julia_tpu", "codegen", "emitter.py"),
+            os.path.join(repo, "tinympc_julia_tpu", "codegen", "templates",
+                         "tinympc_solver.hpp")]
+    if (not os.path.exists(inc)
+            or any(os.path.getmtime(d) > os.path.getmtime(inc)
+                   for d in deps)):
+        import sys
+        subprocess.run([sys.executable, deps[0], inc], check=True)
+    return inc
+
+
 def build_library(out_dir: Optional[str] = None) -> str:
     """Compile the native library if missing; returns its path."""
     out_dir = out_dir or _NATIVE_DIR
     src = os.path.join(_NATIVE_DIR, "tinympc_native.cpp")
     lib_path = os.path.join(out_dir, _LIB_NAME)
+    try:
+        inc = _gen_templates_inc()
+    except (OSError, subprocess.CalledProcessError):
+        # installed without the repo tools/ dir — use the checked-in inc
+        inc = os.path.join(_NATIVE_DIR, "codegen_templates.inc")
+    newest_src = max(os.path.getmtime(p) for p in (src, inc)
+                     if os.path.exists(p))
     if (os.path.exists(lib_path)
-            and os.path.getmtime(lib_path) >= os.path.getmtime(src)):
+            and os.path.getmtime(lib_path) >= newest_src):
         return lib_path
     os.makedirs(out_dir, exist_ok=True)
     subprocess.run(["g++", "-O2", "-std=c++17", "-fPIC", "-shared",
-                    "-o", lib_path, src], check=True)
+                    "-o", lib_path, src], check=True, cwd=_NATIVE_DIR)
     return lib_path
 
 
@@ -88,6 +112,12 @@ def load_library(path: Optional[str] = None) -> ctypes.CDLL:
     lib.set_sensitivity_terms.restype = ctypes.c_int
     lib.set_sensitivity_terms.argtypes = [
         _D, ctypes.c_int, ctypes.c_int] * 4 + [ctypes.c_int]
+    lib.codegen.restype = ctypes.c_int
+    lib.codegen.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.codegen_with_sensitivity.restype = ctypes.c_int
+    lib.codegen_with_sensitivity.argtypes = [
+        ctypes.c_char_p] + [_D, ctypes.c_int, ctypes.c_int] * 4 + [
+        ctypes.c_int]
     lib.print_problem_data.restype = ctypes.c_int
     lib.print_problem_data.argtypes = [ctypes.c_int]
     lib.get_residuals.restype = ctypes.c_int
@@ -185,11 +215,29 @@ class NativeSolver:
             _dp(Ax), Ax.shape[0], self.nx, _dp(bx), len(bx),
             _dp(Au), Au.shape[0], self.nu, _dp(bu), len(bu), 0)
 
+    def set_cache_terms(self, Kinf, Pinf, Quu_inv, AmBKt):
+        ms = [_colmajor(m) for m in (Kinf, Pinf, Quu_inv, AmBKt)]
+        return self.lib.set_cache_terms(
+            _dp(ms[0]), self.nu, self.nx, _dp(ms[1]), self.nx, self.nx,
+            _dp(ms[2]), self.nu, self.nu, _dp(ms[3]), self.nx, self.nx, 0)
+
     def set_sensitivity_terms(self, dK, dP, dC1, dC2):
         ms = [_colmajor(m) for m in (dK, dP, dC1, dC2)]
         return self.lib.set_sensitivity_terms(
             _dp(ms[0]), self.nu, self.nx, _dp(ms[1]), self.nx, self.nx,
             _dp(ms[2]), self.nu, self.nu, _dp(ms[3]), self.nx, self.nx, 0)
+
+    def codegen(self, output_dir, *, verbose=False):
+        return self.lib.codegen(os.fsencode(output_dir), int(verbose))
+
+    def codegen_with_sensitivity(self, output_dir, dK, dP, dC1, dC2, *,
+                                 verbose=False):
+        ms = [_colmajor(m) for m in (dK, dP, dC1, dC2)]
+        return self.lib.codegen_with_sensitivity(
+            os.fsencode(output_dir),
+            _dp(ms[0]), self.nu, self.nx, _dp(ms[1]), self.nx, self.nx,
+            _dp(ms[2]), self.nu, self.nu, _dp(ms[3]), self.nx, self.nx,
+            int(verbose))
 
     def solve(self, *, verbose=False):
         return self.lib.solve_mpc(int(verbose))
