@@ -201,3 +201,49 @@ def test_t2_dual_blocks_are_exact_negations():
     su, sx = 19, 80
     np.testing.assert_array_equal(T2[:, su + sx:su + sx + su], -T2[:, :su])
     np.testing.assert_array_equal(T2[:, su + sx + su:-1], -T2[:, su:su + sx])
+
+
+class TestAutoDispatch:
+    """method='auto' policy: condensed while the maps fit the budget,
+    sequential-scan path beyond (measured: no solve-rate crossover on TPU,
+    DESIGN.md §3)."""
+
+    def test_auto_uses_condensed_at_n100(self):
+        from tinympc_julia_tpu.ops.condensed import auto_uses_condensed
+        assert auto_uses_condensed(4, 1, 100)
+        assert auto_uses_condensed(12, 4, 100)
+
+    def test_auto_switches_beyond_budget(self):
+        from tinympc_julia_tpu.ops import condensed as cnd
+        # cartpole N=2048: footprint ~1 GB > 256 MB budget
+        assert not cnd.auto_uses_condensed(4, 1, 2048)
+        fp = cnd.condensed_footprint_bytes(4, 1, 2048)
+        assert fp > cnd.AUTO_CONDENSED_BUDGET_BYTES
+
+    def test_api_auto_respects_budget(self, monkeypatch):
+        """At N=100 auto builds the condensed maps; with a tiny budget it
+        rides the standard path and never builds them."""
+        import numpy as np
+        from tinympc_julia_tpu import TinyMPCSolver
+        from tinympc_julia_tpu.models import cartpole
+        from tinympc_julia_tpu.ops import condensed as cnd
+
+        def mk():
+            s = TinyMPCSolver()
+            s.setup(cartpole.A, cartpole.B, None, np.diag(cartpole.Q_DIAG),
+                    np.diag(cartpole.R_DIAG), 1.0, 4, 1, 100, max_iter=20)
+            s.update_settings(en_state_bound=False, en_input_bound=False)
+            return s
+        x0s = np.random.default_rng(0).uniform(-0.3, 0.3, size=(4, 4))
+
+        s = mk()
+        xs, us, it, ok = s.solve_batch(x0s, method="auto")
+        assert s._condensed_maps is not None  # condensed path taken
+
+        monkeypatch.setattr(cnd, "AUTO_CONDENSED_BUDGET_BYTES", 1)
+        s2 = mk()
+        xs2, us2, it2, ok2 = s2.solve_batch(x0s, method="auto")
+        assert s2._condensed_maps is None     # standard path taken
+        # both paths agree (f64 exact-parity contract)
+        np.testing.assert_array_equal(it, it2)
+        np.testing.assert_allclose(us, us2, atol=1e-9)

@@ -315,9 +315,11 @@ class TinyMPCSolver:
           * "fused"     — the VMEM-resident Pallas kernel (ops/pallas;
             float32, fixed rho, full box/linear/SOC constraint stack;
             fastest on TPU — the batch is padded to the kernel tile)
-          * "auto"      — condensed when supported (always: the condensed
-            path covers the full constraint stack, and adaptive-rho rides
-            the Taylor-expanded maps, ops/condensed.py)
+          * "auto"      — condensed while the O((N(nx+nu))^2) maps fit the
+            memory budget (ops/condensed.AUTO_CONDENSED_BUDGET_BYTES);
+            beyond that, the sequential-scan path.  Measured (DESIGN.md §3):
+            the condensed solve wins at every horizon up to N=1024 on a v5e
+            chip, so the budget — not a perf crossover — is the bound.
 
         Returns (states (B, N, nx), controls (B, N-1, nu), iters (B,),
         solved (B,)) as numpy arrays.  Unlike `solve`, this does not persist
@@ -328,7 +330,13 @@ class TinyMPCSolver:
         x0s = jnp.asarray(np.asarray(x0s, float), self.dtype)
         if method == "fused":
             return self._solve_batch_fused(x0s)
-        if method in ("auto", "condensed"):
+        if method == "auto":
+            from .ops.condensed import auto_uses_condensed
+            p = self.problem
+            method = ("condensed" if auto_uses_condensed(
+                p.nx, p.nu, p.N, adaptive=self.settings.adaptive_rho)
+                else "standard")
+        if method == "condensed":
             if self.settings.adaptive_rho:
                 # adaptive-rho rides the Taylor-expanded condensed maps
                 from .ops.condensed import (build_condensed_taylor,

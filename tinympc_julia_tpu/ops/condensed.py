@@ -42,6 +42,34 @@ from ..types import Cache, Problem, Settings
 from . import rho as rho_mod
 
 
+# method="auto" policy (measured on a v5e chip, see docs/DESIGN.md §3):
+# the condensed solve beats BOTH scan paths at every horizon measured
+# (N=16..1024, cartpole, B=4096) — there is no solve-rate crossover on TPU.
+# The binding constraint is the O((N(nx+nu))^2) map footprint (and its build
+# cost), so "auto" uses condensed while the estimated maps fit this budget
+# and falls back to the sequential-scan path beyond it.
+AUTO_CONDENSED_BUDGET_BYTES = 256 * 2**20
+
+
+def condensed_footprint_bytes(nx, nu, N, *, itemsize=4,
+                              adaptive=False) -> int:
+    """Approximate memory of the condensed iteration maps."""
+    su = (N - 1) * nu
+    sw = su + N * nx
+    t1 = sw * (su + nx + 1)
+    t2 = su * (2 * sw + 1)
+    t12 = sw * (sw + 1)
+    if adaptive:  # Taylor stacks: (order+1)=3 T1 blocks, 4 T2 corners
+        return (3 * t1 + 4 * t2 + 3 * t12) * itemsize
+    return (t1 + t2 + t12) * itemsize
+
+
+def auto_uses_condensed(nx, nu, N, *, adaptive=False) -> bool:
+    """The method="auto" dispatch rule (api.solve_batch, parallel/grouped)."""
+    return (condensed_footprint_bytes(nx, nu, N, adaptive=adaptive)
+            <= AUTO_CONDENSED_BUDGET_BYTES)
+
+
 class CondensedMaps(NamedTuple):
     """Precomputed dense iteration maps (see module docstring).
 

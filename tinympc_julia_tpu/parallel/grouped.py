@@ -89,9 +89,19 @@ class GroupedBatchSolver:
         if x0s.ndim != 3 or x0s.shape[0] != self.num_groups:
             raise ValueError(
                 f"x0s must be (G={self.num_groups}, L, nx); got {x0s.shape}")
+        if method == "auto":
+            from ..ops.condensed import auto_uses_condensed
+            # per-group maps: the footprint scales with G
+            from ..ops import condensed as _cnd
+            fp = _cnd.condensed_footprint_bytes(
+                self.nx, self.nu, self.N,
+                adaptive=self.settings.adaptive_rho) * self.num_groups
+            method = ("condensed"
+                      if fp <= _cnd.AUTO_CONDENSED_BUDGET_BYTES
+                      else "standard")
         if method == "fused":
             out = self._solve_fused(x0s)
-        elif method in ("auto", "condensed"):
+        elif method == "condensed":
             from ..ops import condensed as cnd
             if self.settings.adaptive_rho:
                 if self._taylor_maps is None:
