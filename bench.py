@@ -352,14 +352,23 @@ def bench_randomized_sweep(reps):
         stack_instances(probs), stack_instances(caches),
         Settings(max_iter=300, en_state_bound=False, en_input_bound=True,
                  relaxation_alpha=1.7, check_termination=4))
-    x0s = rng.uniform(-0.25, 0.25, size=(G, L, 12))
+    x0s = jnp.asarray(rng.uniform(-0.25, 0.25, size=(G, L, 12)), dtype)
+    # two-phase per-group straggler pipeline (a VMEM tile runs until its
+    # slowest lane converges; measured ~4% useful iterations single-phase),
+    # timed on-device like every other config (solve_batch's numpy
+    # conversion would move ~80 MB of trajectories through the remote
+    # tunnel per rep)
+    pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
+                                  phase2_iters=1500, lanes=L)
 
     def run():
-        return gs.solve_batch(x0s, method="fused")
+        out = pipe(x0s)
+        jax.block_until_ready(out[3])
+        return out
 
-    _, _, iters, solved = run()
+    _, _, iters, solved = (np.asarray(o) for o in run())
     n_conv = int(solved.sum())
-    total_iters = float(iters.sum())
+    total_iters = float(iters[solved == 1].sum())
     t = _median_time(run, reps)
     log(f"randomized quadrotor sweep: G={G} problems x L={L} lanes, "
         f"{n_conv}/{G * L} converged ({100.0 * n_conv / (G * L):.2f}%), "

@@ -118,6 +118,59 @@ class TestGroupedFused:
         assert xs.shape == (G, 8, 10, 6)
 
 
+class TestGroupedPipeline:
+    def test_two_phase_matches_single_long_solve(self):
+        """The two-phase straggler pipeline is an exact continuation: per-lane
+        results equal ONE fused solve of phase1+phase2 iterations (warm-carry
+        chaining is bit-exact; per-group compaction keeps T12 alignment)."""
+        G, L = 4, 8
+        probs, caches = _groups(quadrotor, G, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=2)
+        rng = np.random.default_rng(3)
+        x0s = rng.uniform(-0.25, 0.25, size=(G, L, 12))
+
+        s_long = Settings(max_iter=150, en_state_bound=False,
+                          en_input_bound=True)
+        gs_long = GroupedBatchSolver(probs, caches, s_long)
+        xs_1, us_1, it_1, sv_1 = gs_long.solve_batch(x0s, method="fused")
+
+        s_p1 = Settings(max_iter=50, en_state_bound=False,
+                        en_input_bound=True)
+        gs_two = GroupedBatchSolver(probs, caches, s_p1)
+        xs_2, us_2, it_2, sv_2 = gs_two.solve_batch(
+            x0s, method="fused", pipeline=(50, 8, 100))
+
+        # meaningful only if phase 1 leaves stragglers
+        assert (it_1 > 50).any()
+        np.testing.assert_array_equal(it_1, it_2)
+        np.testing.assert_array_equal(sv_1, sv_2)
+        np.testing.assert_array_equal(us_1, us_2)
+        np.testing.assert_array_equal(xs_1, xs_2)
+
+    def test_straggler_overflow_keeps_phase1_state(self):
+        """More stragglers than slots: overflow lanes keep their (unconverged)
+        phase-1 state instead of corrupting other lanes."""
+        G, L = 2, 16
+        probs, caches = _groups(quadrotor, G, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=11)
+        rng = np.random.default_rng(12)
+        x0s = rng.uniform(-0.3, 0.3, size=(G, L, 12))
+        s = Settings(max_iter=20, en_state_bound=False, en_input_bound=True)
+        gs = GroupedBatchSolver(probs, caches, s)
+        xs_s, us_s, it_s, sv_s = gs.solve_batch(x0s, method="fused")
+        n_straggle = int((sv_s == 0).sum())
+        assert n_straggle > 4  # ensure 4 slots genuinely overflow
+        xs_p, us_p, it_p, sv_p = gs.solve_batch(
+            x0s, method="fused", pipeline=(20, 4, 100))
+        # every lane is either a phase-2 continuation (iters > 20 allowed)
+        # or bit-identical to its phase-1 state
+        from_phase1 = (it_p == it_s) & (sv_p == sv_s)
+        continued = it_p > 20
+        assert np.all(from_phase1 | continued)
+        # overflow means at least one unconverged lane kept phase-1 state
+        assert np.all(sv_p >= sv_s)
+
+
 class TestAdviceRegressions:
     def test_single_group_fused(self):
         """G=1 is a valid GroupedBatchSolver config on method='fused'

@@ -81,10 +81,15 @@ class GroupedBatchSolver:
 
     # -- solve ---------------------------------------------------------------
 
-    def solve_batch(self, x0s, *, method: str = "auto"):
+    def solve_batch(self, x0s, *, method: str = "auto", pipeline=None):
         """x0s: (G, L, nx) per-group initial states.  Returns numpy
         (states (G, L, N, nx), controls (G, L, N-1, nu), iters (G, L),
-        solved (G, L))."""
+        solved (G, L)).
+
+        ``pipeline=(phase1_iters, straggler_slots, phase2_iters)`` routes the
+        fused method through the two-phase straggler pipeline
+        (make_fused_pipeline) — same per-lane semantics as a single fused
+        solve of phase1+phase2 iterations."""
         x0s = jnp.asarray(np.asarray(x0s, float), self.problems.A.dtype)
         if x0s.ndim != 3 or x0s.shape[0] != self.num_groups:
             raise ValueError(
@@ -100,7 +105,17 @@ class GroupedBatchSolver:
                       if fp <= _cnd.AUTO_CONDENSED_BUDGET_BYTES
                       else "standard")
         if method == "fused":
-            out = self._solve_fused(x0s)
+            if pipeline is not None:
+                mi1, slots, mi2 = pipeline
+                fn = self.make_fused_pipeline(
+                    phase1_iters=mi1, straggler_slots=slots,
+                    phase2_iters=mi2, lanes=int(x0s.shape[1]))
+                out = fn(x0s)
+            else:
+                out = self._solve_fused(x0s)
+        elif pipeline is not None:
+            raise ValueError("pipeline= is only available with "
+                             "method='fused'")
         elif method == "condensed":
             from ..ops import condensed as cnd
             if self.settings.adaptive_rho:
@@ -138,22 +153,12 @@ class GroupedBatchSolver:
             raise ValueError(f"unknown method: {method}")
         return tuple(np.asarray(o) for o in out)
 
-    def _solve_fused(self, x0s):
-        """The Pallas grouped kernel: per-group T12 blocks over a (G, tiles)
-        grid.  Box bounds may vary per group; SOC/linear constraint DATA must
-        be shared across groups on this path (selector matrices are baked) —
-        per-group constraint data rides method='condensed'."""
+    def _fused_constraint_spec(self):
+        """Shared-across-groups constraint data for the fused kernel (selector
+        matrices are baked host-side)."""
         s = self.settings
         p = self.problems
-        G, L = int(x0s.shape[0]), int(x0s.shape[1])
-        if s.adaptive_rho:
-            raise ValueError("grouped fused adaptive-rho is not available; "
-                             "use method='condensed' (grouped Taylor maps)")
-        ct = s.check_termination
-        if ct < 1 or s.max_iter % ct != 0:
-            raise ValueError(
-                "the fused path needs check_termination >= 1 dividing "
-                f"max_iter (got {ct} / {s.max_iter})")
+        G = self.num_groups
 
         def shared_rows(a, what):
             a = np.asarray(a)
@@ -180,36 +185,67 @@ class GroupedBatchSolver:
         if s.en_state_linear:
             lin_x = (shared_rows(p.Alin_x, "Alin_x"),
                      shared_rows(p.blin_x, "blin_x"))
+        return soc_u, soc_x, lin_u, lin_x
 
+    def _fused_kernel(self, Bt, max_iter, **extra):
+        """Build (and cache) one grouped fused kernel config."""
+        s = self.settings
         from ..ops import condensed as cnd
         from ..ops.pallas.condensed_kernel import make_condensed_fused_solver
-        if self._maps is None:
-            self._maps = cnd.build_condensed(p, self.caches)
-
-        sw = self.nx * self.N + self.nu * (self.N - 1)
-        Bt = 512 if sw > 200 else 2048
-        while Bt > L and Bt > 8:
-            Bt //= 2
-        Lp = ((L + Bt - 1) // Bt) * Bt
-        x0s_p = x0s if Lp == L else jnp.concatenate(
-            [x0s, jnp.zeros((G, Lp - L, self.nx), x0s.dtype)], axis=1)
-        interpret = jax.default_backend() != "tpu"
         from ..types import settings_bake_key
-        key = (settings_bake_key(s), Bt, interpret)
+        if self._maps is None:
+            self._maps = cnd.build_condensed(self.problems, self.caches)
+        soc_u, soc_x, lin_u, lin_x = self._fused_constraint_spec()
+        interpret = jax.default_backend() != "tpu"
+        key = (settings_bake_key(s), Bt, max_iter, interpret,
+               tuple(sorted(extra.items())))
         fn = self._fused_solvers.get(key)
         if fn is None:
             fn = make_condensed_fused_solver(
-                self.nx, self.nu, self.N, batch_tile=Bt,
-                max_iter=s.max_iter,
+                self.nx, self.nu, self.N, batch_tile=Bt, max_iter=max_iter,
                 abs_pri_tol=float(s.abs_pri_tol),
                 abs_dua_tol=float(s.abs_dua_tol),
                 en_state_bound=s.en_state_bound,
                 en_input_bound=s.en_input_bound,
                 relaxation_alpha=s.relaxation_alpha,
-                check_termination=ct,
+                check_termination=s.check_termination,
                 soc_u=soc_u, soc_x=soc_x, lin_u=lin_u, lin_x=lin_x,
-                num_groups=G, interpret=interpret)
+                num_groups=self.num_groups, interpret=interpret, **extra)
             self._fused_solvers[key] = fn
+        return fn
+
+    def _check_fused_settings(self):
+        s = self.settings
+        if s.adaptive_rho:
+            raise ValueError("grouped fused adaptive-rho is not available; "
+                             "use method='condensed' (grouped Taylor maps)")
+        ct = s.check_termination
+        if ct < 1 or s.max_iter % ct != 0:
+            raise ValueError(
+                "the fused path needs check_termination >= 1 dividing "
+                f"max_iter (got {ct} / {s.max_iter})")
+
+    def _default_tile(self, L):
+        sw = self.nx * self.N + self.nu * (self.N - 1)
+        Bt = 512 if sw > 200 else 2048
+        while Bt > L and Bt > 8:
+            Bt //= 2
+        return Bt
+
+    def _solve_fused(self, x0s):
+        """The Pallas grouped kernel: per-group T12 blocks over a (G, tiles)
+        grid.  Box bounds may vary per group; SOC/linear constraint DATA must
+        be shared across groups on this path (selector matrices are baked) —
+        per-group constraint data rides method='condensed'."""
+        s = self.settings
+        p = self.problems
+        G, L = int(x0s.shape[0]), int(x0s.shape[1])
+        self._check_fused_settings()
+        Bt = self._default_tile(L)
+        Lp = ((L + Bt - 1) // Bt) * Bt
+        x0s_p = x0s if Lp == L else jnp.concatenate(
+            [x0s, jnp.zeros((G, Lp - L, self.nx), x0s.dtype)], axis=1)
+        fn = self._fused_kernel(Bt, s.max_iter)
         xs, us, iters, solved = fn(
             self._maps, self.caches.rho, p.u_min, p.u_max, p.x_min, p.x_max,
             x0s_p.astype(jnp.float32))
@@ -217,3 +253,71 @@ class GroupedBatchSolver:
         us = us.reshape(G, Lp, self.N - 1, self.nu)[:, :L]
         return (xs, us, iters.reshape(G, Lp)[:, :L],
                 solved.reshape(G, Lp)[:, :L])
+
+    def make_fused_pipeline(self, *, phase1_iters: int = 100,
+                            straggler_slots: int = 256,
+                            phase2_iters: int = 300, lanes: int,
+                            batch_tile: Optional[int] = None):
+        """Two-phase grouped fused solve as ONE jitted device function.
+
+        A VMEM-resident tile runs until its SLOWEST lane converges, so a
+        single long solve wastes most of its iterations re-running converged
+        lanes (measured: ~4% useful at max_iter=300 on the randomized
+        quadrotor sweep).  The pipeline does a bulk pass of ``phase1_iters``,
+        compacts each group's unconverged lanes into ``straggler_slots``
+        per-group slots (per-group compaction keeps every lane aligned with
+        its group's T12 block), and CONTINUES them warm from their phase-1
+        carry for up to ``phase2_iters`` more — an exact continuation, so
+        per-lane results equal a single solve of phase1+phase2 iterations
+        (pinned in tests/test_grouped_fused.py).
+
+        Returns a jitted ``pipeline(x0s) -> (xs, us, iters, solved)`` over
+        (G, lanes, nx) float32 x0s with device-resident outputs in the same
+        shapes/semantics as solve_batch (iters for phase-2 lanes =
+        phase1_iters + continuation iterations).  If a group has more than
+        ``straggler_slots`` stragglers the overflow keeps its (unconverged)
+        phase-1 state.
+        """
+        s = self.settings
+        p = self.problems
+        G, L, nx = self.num_groups, int(lanes), self.nx
+        L2 = int(straggler_slots)
+        self._check_fused_settings()
+        Bt = batch_tile or self._default_tile(L)
+        if L % Bt != 0:
+            raise ValueError(f"lanes={L} must be a multiple of the batch "
+                             f"tile {Bt} (pad x0s)")
+        Bt2 = L2 if L2 <= 512 else 512
+        if L2 % Bt2 != 0:
+            raise ValueError(f"straggler_slots={L2} must be a multiple "
+                             f"of {Bt2}")
+        fn1 = self._fused_kernel(Bt, phase1_iters, carry_out=True)
+        fn2 = self._fused_kernel(Bt2, phase2_iters, warm_start=True)
+        maps, rho = self._maps, self.caches.rho
+        bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+
+        @jax.jit
+        def pipeline(x0s):
+            x0s = x0s.astype(jnp.float32)
+            xs1, us1, it1, ok1, carry = fn1(maps, rho, *bounds, x0s)
+            unconv = (ok1 == 0).reshape(G, L)
+            idx = jax.vmap(
+                lambda m: jnp.nonzero(m, size=L2, fill_value=0)[0])(unconv)
+            gidx = (idx + jnp.arange(G)[:, None] * L).reshape(-1)
+            warm = tuple(w[:, gidx] for w in carry)
+            x0s2 = x0s.reshape(G * L, nx)[gidx].reshape(G, L2, nx)
+            xs2, us2, it2, ok2 = fn2(maps, rho, *bounds, x0s2, warm)
+            # slots beyond the group's straggler count are index-0 fill
+            # lanes: drop their writes (out-of-range scatter index)
+            counts = unconv.sum(axis=1)
+            valid = (jnp.arange(L2)[None, :] < counts[:, None]).reshape(-1)
+            safe = jnp.where(valid, gidx, G * L)
+            xs = xs1.at[safe].set(xs2, mode="drop")
+            us = us1.at[safe].set(us2, mode="drop")
+            iters = it1.at[safe].set(phase1_iters + it2, mode="drop")
+            solved = ok1.at[safe].set(ok2, mode="drop")
+            return (xs.reshape(G, L, self.N, nx),
+                    us.reshape(G, L, self.N - 1, self.nu),
+                    iters.reshape(G, L), solved.reshape(G, L))
+
+        return pipeline
