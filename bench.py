@@ -90,15 +90,16 @@ def bench_cartpole(reps):
     n_dev = 1
     if MESH:
         from jax.sharding import Mesh, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         devs = np.asarray(jax.devices())
         n_dev = len(devs)
         mesh = Mesh(devs, ("batch",))
         assert B % n_dev == 0
+        # check_vma=False: pallas_call out_shapes carry no vma annotation
         pipeline = jax.jit(shard_map(
             _pipeline, mesh=mesh, in_specs=P("batch"),
             out_specs=(P("batch"), P("batch"), P("batch"), P("batch"),
-                       P("batch"), P("batch"))))
+                       P("batch"), P("batch")), check_vma=False))
         log(f"cartpole: --mesh over {n_dev} device(s); per-device shard "
             f"{B // n_dev}")
     else:

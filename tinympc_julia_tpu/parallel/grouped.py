@@ -95,7 +95,6 @@ class GroupedBatchSolver:
             raise ValueError(
                 f"x0s must be (G={self.num_groups}, L, nx); got {x0s.shape}")
         if method == "auto":
-            from ..ops.condensed import auto_uses_condensed
             # per-group maps: the footprint scales with G
             from ..ops import condensed as _cnd
             fp = _cnd.condensed_footprint_bytes(
