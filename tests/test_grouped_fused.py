@@ -147,6 +147,46 @@ class TestGroupedPipeline:
         np.testing.assert_array_equal(us_1, us_2)
         np.testing.assert_array_equal(xs_1, xs_2)
 
+    def test_pipeline_pads_non_tile_multiple_lanes(self):
+        """solve_batch(pipeline=...) pads lane counts up to a batch-tile
+        multiple exactly like the plain fused path (ADVICE r3: the pipeline
+        branch used to raise for lane counts the plain path accepted)."""
+        G, L = 2, 12  # batch tile resolves to 8 -> lanes pad to 16
+        probs, caches = _groups(quadrotor, G, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=2)
+        rng = np.random.default_rng(13)
+        x0s = rng.uniform(-0.25, 0.25, size=(G, L, 12))
+
+        s_long = Settings(max_iter=150, en_state_bound=False,
+                          en_input_bound=True)
+        gs_long = GroupedBatchSolver(probs, caches, s_long)
+        xs_1, us_1, it_1, sv_1 = gs_long.solve_batch(x0s, method="fused")
+
+        s_p1 = Settings(max_iter=50, en_state_bound=False,
+                        en_input_bound=True)
+        gs_two = GroupedBatchSolver(probs, caches, s_p1)
+        xs_2, us_2, it_2, sv_2 = gs_two.solve_batch(
+            x0s, method="fused", pipeline=(50, 8, 100))
+        assert xs_2.shape == (G, L, 12, 12)
+        np.testing.assert_array_equal(it_1, it_2)
+        np.testing.assert_array_equal(sv_1, sv_2)
+        np.testing.assert_array_equal(us_1, us_2)
+
+    def test_pipeline_validates_check_termination_alignment(self):
+        """Phase budgets must land on check iterations (ADVICE r3: the error
+        used to surface from the kernel factory phrased as max_iter)."""
+        probs, caches = _groups(quadrotor, 2, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=2)
+        s = Settings(max_iter=52, en_state_bound=False, en_input_bound=True,
+                     check_termination=4)
+        gs = GroupedBatchSolver(probs, caches, s)
+        with pytest.raises(ValueError, match="phase1_iters"):
+            gs.make_fused_pipeline(phase1_iters=50, straggler_slots=8,
+                                   phase2_iters=100, lanes=16)
+        with pytest.raises(ValueError, match="phase2_iters"):
+            gs.make_fused_pipeline(phase1_iters=52, straggler_slots=8,
+                                   phase2_iters=101, lanes=16)
+
     def test_straggler_overflow_keeps_phase1_state(self):
         """More stragglers than slots: overflow lanes keep their (unconverged)
         phase-1 state instead of corrupting other lanes."""

@@ -56,8 +56,8 @@ def test_shard_map_over_fused_pipeline_matches_local():
     devs = np.asarray(jax.devices())
     assert len(devs) == 8, "conftest provides 8 virtual devices"
     mesh = Mesh(devs, ("batch",))
-    # per-shard straggler slots: B2 // n_dev, matching bench's mesh-mode
-    # per-shard compaction semantics
+    # per-shard straggler slots: B2s = B2 // n_dev, exactly bench's
+    # mesh-mode construction (bench.py computes B2s the same way)
 
     def _shard_pipeline(x0s):
         xs1, us1, it1, ok1, carry = fn1(maps, c.rho, *bounds, x0s)
@@ -90,3 +90,24 @@ def test_shard_map_over_fused_pipeline_matches_local():
         # continued lanes ran beyond phase 1
         assert np.all(seg_it[seg_ok == 1] >= 1)
         assert lanes.size == k
+
+    # bench.straggler_mask accounting at n_dev > 1: its valid-slot mask must
+    # select exactly the per-shard straggler prefixes checked above
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    mask2 = bench.straggler_mask(ok1_l == 0, B2 // 8, 8)
+    expect = np.zeros((8, B2 // 8), bool)
+    for d in range(8):
+        expect[d, :min(int(unconv[d].sum()), B2 // 8)] = True
+    np.testing.assert_array_equal(mask2, expect.reshape(-1))
+    # counted phase-2 converged lanes == the union over shards of the
+    # prefix-slot verdicts (no fill-lane double counting)
+    n2 = int(ok2_s[mask2].sum())
+    n2_manual = sum(int(ok2_s.reshape(8, -1)[d, :min(int(unconv[d].sum()),
+                                                     B2 // 8)].sum())
+                    for d in range(8))
+    assert n2 == n2_manual

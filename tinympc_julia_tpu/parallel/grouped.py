@@ -66,6 +66,7 @@ class GroupedBatchSolver:
         self._maps = None
         self._taylor_maps = None
         self._fused_solvers = {}
+        self._pipelines = {}
 
     @property
     def nx(self) -> int:
@@ -106,10 +107,18 @@ class GroupedBatchSolver:
         if method == "fused":
             if pipeline is not None:
                 mi1, slots, mi2 = pipeline
+                # pad lanes up to a tile multiple (same padding the plain
+                # fused path applies); scatter indices drop the pad lanes
+                L = int(x0s.shape[1])
+                Bt = self._default_tile(L)
+                Lp = ((L + Bt - 1) // Bt) * Bt
+                x0s_p = x0s if Lp == L else jnp.concatenate(
+                    [x0s, jnp.zeros((self.num_groups, Lp - L, self.nx),
+                                    x0s.dtype)], axis=1)
                 fn = self.make_fused_pipeline(
                     phase1_iters=mi1, straggler_slots=slots,
-                    phase2_iters=mi2, lanes=int(x0s.shape[1]))
-                out = fn(x0s)
+                    phase2_iters=mi2, lanes=Lp, batch_tile=Bt)
+                out = tuple(o[:, :L] for o in fn(x0s_p))
             else:
                 out = self._solve_fused(x0s)
         elif pipeline is not None:
@@ -282,6 +291,14 @@ class GroupedBatchSolver:
         G, L, nx = self.num_groups, int(lanes), self.nx
         L2 = int(straggler_slots)
         self._check_fused_settings()
+        ct = s.check_termination
+        for what, iters in (("phase1_iters", phase1_iters),
+                            ("phase2_iters", phase2_iters)):
+            if iters % ct != 0:
+                raise ValueError(
+                    f"{what}={iters} must be a multiple of "
+                    f"check_termination={ct} (the exact-continuation "
+                    "guarantee needs phase boundaries on check iterations)")
         Bt = batch_tile or self._default_tile(L)
         if L % Bt != 0:
             raise ValueError(f"lanes={L} must be a multiple of the batch "
@@ -290,6 +307,11 @@ class GroupedBatchSolver:
         if L2 % Bt2 != 0:
             raise ValueError(f"straggler_slots={L2} must be a multiple "
                              f"of {Bt2}")
+        from ..types import settings_bake_key
+        pkey = (settings_bake_key(s), phase1_iters, L2, phase2_iters, L, Bt)
+        cached = self._pipelines.get(pkey)
+        if cached is not None:
+            return cached
         fn1 = self._fused_kernel(Bt, phase1_iters, carry_out=True)
         fn2 = self._fused_kernel(Bt2, phase2_iters, warm_start=True)
         maps, rho = self._maps, self.caches.rho
@@ -319,4 +341,5 @@ class GroupedBatchSolver:
                     us.reshape(G, L, self.N - 1, self.nu),
                     iters.reshape(G, L), solved.reshape(G, L))
 
+        self._pipelines[pkey] = pipeline
         return pipeline
