@@ -32,13 +32,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _median_time(run, reps):
-    times = []
-    for _ in range(reps):
+def _median_time(run, reps, sync=None):
+    """Median wall-clock of ``run()``.
+
+    Through the axon remote tunnel, ``jax.block_until_ready`` can return
+    before execution finishes while the device queue is shallow (measured:
+    a 42 ms program "completed" in 0.5 ms for the first few calls), so each
+    rep ends with a REAL host materialization of a small output
+    (``sync(out)``), and short-running configs amortize the ~35 ms tunnel
+    round trip over several back-to-back calls."""
+    if sync is None:
+        sync = lambda out: out  # noqa: E731
+
+    def timed(n):
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        for _ in range(n):
+            out = run()
+        np.asarray(sync(out))
+        return (time.perf_counter() - t0) / n
+
+    t1 = timed(1)
+    inner = max(1, min(16, int(round(0.4 / max(t1, 1e-3)))))
+    return float(np.median([timed(inner) for _ in range(reps)]))
+
+
+def straggler_mask(unconv, slots_per_shard, n_dev):
+    """Valid-slot mask over the flattened phase-2 outputs.
+
+    Each shard compacts its own stragglers into its ``slots_per_shard``
+    phase-2 slots (jnp.nonzero packs real indices first, fill_value=0 pads);
+    slots beyond a shard's straggler count re-solve lane 0 and must not be
+    counted.  ``unconv`` is the flat (B,) phase-1 unconverged mask laid out
+    shard-major.  Unit-tested on the virtual mesh in
+    tests/test_mesh_pipeline.py."""
+    unconv = np.asarray(unconv)
+    per_shard = unconv.reshape(n_dev, -1).sum(axis=1)
+    mask = np.zeros((n_dev, slots_per_shard), bool)
+    for d, k in enumerate(per_shard):
+        mask[d, :min(int(k), slots_per_shard)] = True
+    return mask.reshape(-1)
 
 
 def bench_cartpole(reps):
@@ -65,12 +97,17 @@ def bench_cartpole(reps):
                      cartpole.RHO, N, u_min=-5.0, u_max=5.0)
     c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(cartpole.RHO, dtype))
     maps = build_condensed(p, c)
+
+    n_dev = len(jax.devices()) if MESH else 1
+    assert B % n_dev == 0 and B2 % n_dev == 0
+    B2s = B2 // n_dev  # per-shard phase-2 straggler slots (total stays B2)
+
     kw = dict(en_input_bound=True, en_state_bound=False,
               relaxation_alpha=ALPHA, check_termination=4)
     fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=100,
                                       carry_out=True, **kw)
-    fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=1024, max_iter=300,
-                                      warm_start=True, **kw)
+    fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=min(1024, B2s),
+                                      max_iter=300, warm_start=True, **kw)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
@@ -79,56 +116,42 @@ def bench_cartpole(reps):
     def _pipeline(x0s):
         """Two-phase fused solve as ONE dispatch: bulk pass, compact the
         stragglers, CONTINUE them warm from their phase-1 carry (exact
-        continuation — no re-solving)."""
+        continuation — no re-solving).  Under shard_map each shard compacts
+        its own stragglers into B2s slots."""
         _, _, it1, ok1, carry = fn1(maps, c.rho, *bounds, x0s)
         unconv = ok1 == 0
-        idx = jnp.nonzero(unconv, size=B2, fill_value=0)[0]
+        idx = jnp.nonzero(unconv, size=B2s, fill_value=0)[0]
         warm = tuple(w[:, idx] for w in carry)
         _, _, it2, ok2 = fn2(maps, c.rho, *bounds, x0s[idx], warm)
         return it1, ok1, idx, it2, ok2, unconv
 
-    n_dev = 1
     if MESH:
         from jax.sharding import Mesh, PartitionSpec as P
         from jax import shard_map
         devs = np.asarray(jax.devices())
-        n_dev = len(devs)
         mesh = Mesh(devs, ("batch",))
-        assert B % n_dev == 0
         # check_vma=False: pallas_call out_shapes carry no vma annotation
         pipeline = jax.jit(shard_map(
             _pipeline, mesh=mesh, in_specs=P("batch"),
             out_specs=(P("batch"), P("batch"), P("batch"), P("batch"),
                        P("batch"), P("batch")), check_vma=False))
         log(f"cartpole: --mesh over {n_dev} device(s); per-device shard "
-            f"{B // n_dev}")
+            f"{B // n_dev}, {B2s} phase-2 slots/shard")
     else:
         pipeline = jax.jit(_pipeline)
 
     def run():
-        out = pipeline(x0s)
-        jax.block_until_ready(out[4])
-        return out
+        return pipeline(x0s)
 
     it1, ok1, idx, it2, ok2, unconv = run()
     n1 = int(np.sum(np.asarray(ok1)))
     n_straggler = int(np.sum(np.asarray(unconv)))
-    # nonzero() packs real indices first (per shard in mesh mode)
-    if MESH and n_dev > 1:
-        # each shard compacts its own stragglers into its B2 slots
-        m2 = np.asarray(unconv).reshape(n_dev, -1).sum(1)
-        mask2 = np.zeros((n_dev, np.asarray(it2).size // n_dev), bool)
-        for d, k in enumerate(m2):
-            mask2[d, :k] = True
-        mask2 = mask2.reshape(-1)
-    else:
-        mask2 = np.zeros(np.asarray(it2).size, bool)
-        mask2[:n_straggler] = True
+    mask2 = straggler_mask(unconv, B2s, n_dev)
     n2 = int(np.sum(np.asarray(ok2)[mask2]))
     n_conv = n1 + n2
     total_iters = float(np.sum(np.asarray(it1))
                         + np.sum(np.asarray(it2)[mask2]))
-    t = _median_time(run, reps)
+    t = _median_time(run, reps, sync=lambda o: o[4])
     log(f"cartpole: {n_conv}/{B} converged ({100.0 * n_conv / B:.2f}%), "
         f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s, "
         f"{total_iters / t:.3e} ADMM iters/s")
@@ -195,9 +218,7 @@ def bench_quadrotor_adaptive(reps):
         return it1, ok1, rho1, it2, ok2, rho2, unconv
 
     def run():
-        out = pipeline(x0s)
-        jax.block_until_ready(out[4])
-        return out
+        return pipeline(x0s)
 
     it1, ok1, rho1, it2, ok2, rho2, unconv = run()
     n1 = int(np.sum(np.asarray(ok1)))
@@ -208,7 +229,7 @@ def bench_quadrotor_adaptive(reps):
     n_conv = n1 + n2
     total_iters = float(np.sum(np.asarray(it1))
                         + np.sum(np.asarray(it2)[mask2]))
-    t = _median_time(run, reps)
+    t = _median_time(run, reps, sync=lambda o: o[4])
     rho_all = np.concatenate([np.asarray(rho1)[~np.asarray(unconv)],
                               np.asarray(rho2)[mask2]])
     log(f"quadrotor adaptive-rho: {n_conv}/{B} converged "
@@ -218,6 +239,84 @@ def bench_quadrotor_adaptive(reps):
     return dict(solves_per_sec=round(n_conv / t, 1),
                 iters_per_sec=round(total_iters / t, 1),
                 convergence=round(n_conv / B, 4), batch=B)
+
+
+def bench_misset_rho(reps):
+    """Adaptive-rho that demonstrably adapts (VERDICT r3 item 1): the
+    constrained-cartpole workload (cart position bounds, reference
+    examples/cartpole_example_reference_constrained.jl:16-18) with rho0
+    deliberately mis-set 100x low.  Three configs on the same standard
+    batched path:
+
+      fixed     — rho pinned at the mis-set rho0 (the control)
+      reference — the reference's OSQP controller + Taylor update
+      adaptive  — termination-residual controller + exact on-device Riccati
+                  rebuild (Settings extensions; ops/rho.py)
+
+    The controller must RAISE rho (the measured-fatal direction for the
+    Taylor cache), so the exact rebuild is what makes adaptation viable."""
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import (Settings, init_state, make_problem,
+                                   precompute_cache)
+    from tinympc_julia_tpu.models import cartpole
+    from tinympc_julia_tpu.parallel import broadcast_state, set_x0_batch
+    from tinympc_julia_tpu.parallel.batch import solve_batch
+
+    dtype = jnp.float32
+    N = cartpole.HORIZON
+    B = 1024 if QUICK else 4096
+    RHO0 = 0.01
+    xmax = np.array([2.0, 1e17, 1e17, 1e17])
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     RHO0, N, u_min=-5.0, u_max=5.0,
+                     x_min=jnp.asarray(np.tile(-xmax, (N, 1)), dtype),
+                     x_max=jnp.asarray(np.tile(xmax, (N, 1)), dtype))
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(RHO0, dtype))
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-1, 1, size=(B, 4))
+                      * np.array([1.8, 1.0, 0.4, 0.5]), dtype)
+    st = set_x0_batch(broadcast_state(init_state(4, 1, N, dtype), B), x0s)
+
+    base = dict(max_iter=500, en_state_bound=True, en_input_bound=True)
+    adapt = dict(adaptive_rho=True, adaptive_rho_controller="termination",
+                 adaptive_rho_rebuild=True,
+                 adaptive_rho_min=1e-4, adaptive_rho_max=1e4)
+
+    def run_cfg(s):
+        def run():
+            return solve_batch(p, c, s, st)
+        _, ca, sol = run()
+        t = _median_time(run, reps, sync=lambda o: o[2].iter)
+        return (int(np.sum(np.asarray(sol.solved))),
+                float(np.mean(np.asarray(sol.iter))), t, np.asarray(ca.rho))
+
+    n_fix, it_fix, t_fix, _ = run_cfg(Settings(**base))
+    n_ref, it_ref, t_ref, rho_ref = run_cfg(Settings(
+        adaptive_rho=True, adaptive_rho_min=1e-4, adaptive_rho_max=1e4,
+        **base))
+    n_ada, it_ada, t_ada, rho_ada = run_cfg(Settings(**adapt, **base))
+    log(f"misset-rho0 cartpole (rho0={RHO0}, B={B}): "
+        f"fixed {n_fix}/{B} @ {it_fix:.0f} iters ({n_fix / t_fix:.0f} "
+        f"solves/s) | reference-adaptive {n_ref}/{B} @ {it_ref:.0f} iters, "
+        f"rho span [{rho_ref.min():.2g}, {rho_ref.max():.2g}] | "
+        f"rebuild-adaptive {n_ada}/{B} @ {it_ada:.0f} iters "
+        f"({n_ada / t_ada:.0f} solves/s), rho span "
+        f"[{rho_ada.min():.2g}, {rho_ada.max():.2g}]")
+    return dict(solves_per_sec=round(n_ada / t_ada, 1),
+                convergence=round(n_ada / B, 4),
+                mean_iters=round(it_ada, 1),
+                rho_span=[round(float(rho_ada.min()), 4),
+                          round(float(rho_ada.max()), 4)],
+                fixed_control=dict(solves_per_sec=round(n_fix / t_fix, 1),
+                                   convergence=round(n_fix / B, 4),
+                                   mean_iters=round(it_fix, 1)),
+                reference_adaptive=dict(convergence=round(n_ref / B, 4),
+                                        mean_iters=round(it_ref, 1)),
+                batch=B, rho0=RHO0)
 
 
 def bench_rocket(reps):
@@ -262,14 +361,12 @@ def bench_rocket(reps):
                       * rng.uniform(0.9, 1.1, size=(B, 1)), dtype)
 
     def run():
-        out = fn(maps, c.rho, p.u_min, p.u_max, p.x_min, p.x_max, x0s)
-        jax.block_until_ready(out[3])
-        return out
+        return fn(maps, c.rho, p.u_min, p.u_max, p.x_min, p.x_max, x0s)
 
     _, _, iters, solved = run()
     n_conv = int(np.sum(np.asarray(solved)))
     total_iters = float(np.sum(np.asarray(iters)))
-    t = _median_time(run, reps)
+    t = _median_time(run, reps, sync=lambda o: o[3])
     log(f"rocket SOC: {n_conv}/{B} converged ({100.0 * n_conv / B:.2f}%), "
         f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s")
     return dict(solves_per_sec=round(n_conv / t, 1),
@@ -304,13 +401,11 @@ def bench_mpc_loop(reps):
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
 
     def run():
-        res = fused(x0s)
-        jax.block_until_ready(res.us)
-        return res
+        return fused(x0s)
 
     res = run()
     conv = float(np.asarray(res.solved).mean())
-    t = _median_time(run, reps)
+    t = _median_time(run, reps, sync=lambda r: r.solved)
     steps = B * n_steps
     log(f"fused MPC loop: {steps} closed-loop steps in {t * 1e3:.1f} ms "
         f"-> {steps / t:.0f} steps/s ({100 * conv:.1f}% solved)")
@@ -363,14 +458,12 @@ def bench_randomized_sweep(reps):
                                   phase2_iters=1500, lanes=L)
 
     def run():
-        out = pipe(x0s)
-        jax.block_until_ready(out[3])
-        return out
+        return pipe(x0s)
 
     _, _, iters, solved = (np.asarray(o) for o in run())
     n_conv = int(solved.sum())
     total_iters = float(iters[solved == 1].sum())
-    t = _median_time(run, reps)
+    t = _median_time(run, reps, sync=lambda o: o[3])
     log(f"randomized quadrotor sweep: G={G} problems x L={L} lanes, "
         f"{n_conv}/{G * L} converged ({100.0 * n_conv / (G * L):.2f}%), "
         f"median {t * 1e3:.1f} ms -> {n_conv / t:.0f} solves/s")
@@ -381,6 +474,13 @@ def bench_randomized_sweep(reps):
 
 def main():
     import jax
+    try:  # persistent compile cache: first-compile through the remote
+        # tunnel is slow (minutes); caching is compile-time only and does
+        # not affect the timed warm executions
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     log(f"bench: backend={jax.default_backend()} devices={jax.device_count()}"
         f" quick={QUICK} mesh={MESH}")
     reps = 5 if QUICK else 20
@@ -390,6 +490,7 @@ def main():
     extra = {"cartpole": cart}
     if not MESH:  # extras measure single-chip configs
         extra["quadrotor_adaptive"] = bench_quadrotor_adaptive(reps_extra)
+        extra["misset_rho_adaptive"] = bench_misset_rho(reps_extra)
         extra["rocket_soc"] = bench_rocket(reps_extra)
         extra["mpc_loop_fused"] = bench_mpc_loop(reps_extra)
         extra["randomized_quadrotor_sweep"] = bench_randomized_sweep(

@@ -197,8 +197,19 @@ def make_loop_fns(problem: Problem, settings: Settings, *,
             # (admm.cpp:156), updating the cache via OSQP-form residuals + a
             # first-order Taylor expansion in rho (rho_benchmark.cpp:214-250).
             do_update = jnp.logical_and(i > 0, i % 5 == 0)
-            ca_new = rho_mod.adapt_rho(st, ca, problem, settings)
-            ca = _tree_select(do_update, ca_new, ca)
+            if settings.adaptive_rho_rebuild:
+                # Exact on-device Riccati rebuild (extension, ops/rho.py
+                # rebuild_update).  lax.cond so the nested fixed point only
+                # runs on update iterations — under parallel/batch.py's loop
+                # the counter i is unbatched, so this stays a real branch.
+                ca = lax.cond(
+                    do_update,
+                    lambda args: rho_mod.adapt_rho_rebuild(*args, problem,
+                                                           settings),
+                    lambda args: args[1], (st, ca))
+            else:
+                ca_new = rho_mod.adapt_rho(st, ca, problem, settings)
+                ca = _tree_select(do_update, ca_new, ca)
 
         z_prev = st.znew
         v_prev = st.vnew

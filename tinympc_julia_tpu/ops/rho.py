@@ -27,6 +27,12 @@ from ..types import Cache, Problem, Settings, State
 
 EPS = 1e-10  # rho_benchmark.cpp:183
 
+# Termination-residual controller (extension) tuning: deadband factor below
+# which updates are skipped and per-update step cap (OSQP's adaptive-rho
+# anti-oscillation mechanism).
+TERM_DEADBAND = 5.0
+TERM_MAX_STEP = 10.0
+
 
 def osqp_residuals(state: State, cache: Cache, problem: Problem):
     """(pri_res, dual_res, pri_norm, dual_norm) — infinity norms identical to
@@ -113,12 +119,116 @@ def taylor_update(cache: Cache, new_rho) -> Cache:
     )
 
 
+def predict_rho_termination(state: State, cache: Cache, settings: Settings,
+                            dtype):
+    """EXTENSION controller (Settings.adaptive_rho_controller="termination";
+    default "osqp" keeps reference behavior): predict rho from the solver's
+    own termination residuals (admm.cpp:93-96 values), each normalized by
+    ITS OWN tolerance:
+
+        ratio   = (pri / abs_pri_tol) / (dual / abs_dua_tol)
+        new_rho = rho * sqrt(ratio)          (clipped like predict_rho)
+
+    Rationale (measured, docs/DESIGN.md §4): the reference's OSQP-form
+    controller is structurally decay-biased on regulation problems — its
+    dual residual contains cost terms that never vanish at convergence, so
+    rho only ever falls.  Normalizing each termination residual by its own
+    tolerance directly targets the termination condition: rho rises when
+    the primal check lags (mis-set-low rho) and falls when the dual check
+    lags (mis-set-high rho)."""
+    eps = jnp.asarray(EPS, dtype)
+    rho = cache.rho
+    pri = jnp.maximum(jnp.max(jnp.abs(state.x - state.vnew)),
+                      jnp.max(jnp.abs(state.u - state.znew)))
+    dual = rho * jnp.maximum(jnp.max(jnp.abs(state.v - state.vnew)),
+                             jnp.max(jnp.abs(state.z - state.znew)))
+    pri_tol = jnp.asarray(settings.abs_pri_tol, dtype)
+    dua_tol = jnp.asarray(settings.abs_dua_tol, dtype)
+    ratio = (pri / pri_tol) / (dual / dua_tol + eps)
+    factor = jnp.sqrt(ratio)
+    # OSQP-style deadband + step cap (anti-oscillation: near convergence the
+    # dual residual vanishes first, which would otherwise send rho jumping
+    # every update): apply only moves larger than TERM_DEADBAND, capped at
+    # TERM_MAX_STEP per update.
+    factor = jnp.clip(factor, 1.0 / TERM_MAX_STEP, TERM_MAX_STEP)
+    apply = jnp.logical_or(factor > TERM_DEADBAND,
+                           factor < 1.0 / TERM_DEADBAND)
+    new_rho = jnp.where(apply, rho * factor, rho)
+    if settings.adaptive_rho_enable_clipping:
+        new_rho = jnp.clip(new_rho,
+                           jnp.asarray(settings.adaptive_rho_min, dtype),
+                           jnp.asarray(settings.adaptive_rho_max, dtype))
+    return new_rho
+
+
+def _predicted_rho(state: State, cache: Cache, problem: Problem,
+                   settings: Settings, dtype):
+    """Dispatch on the controller setting (static)."""
+    if settings.adaptive_rho_controller == "termination":
+        return predict_rho_termination(state, cache, settings, dtype)
+    if settings.adaptive_rho_controller != "osqp":
+        raise ValueError("adaptive_rho_controller must be 'osqp' or "
+                         f"'termination', got "
+                         f"{settings.adaptive_rho_controller!r}")
+    pri_res, dual_res, pri_norm, dual_norm = osqp_residuals(state, cache,
+                                                            problem)
+    return predict_rho(pri_res, dual_res, pri_norm, dual_norm, cache.rho,
+                       settings, dtype)
+
+
 def adapt_rho(state: State, cache: Cache, problem: Problem,
               settings: Settings) -> Cache:
     """One adaptive-rho step (benchmark_rho_adaptation,
     rho_benchmark.cpp:214-250): residuals -> predicted rho -> Taylor update."""
     dtype = state.x.dtype
-    pri_res, dual_res, pri_norm, dual_norm = osqp_residuals(state, cache, problem)
-    new_rho = predict_rho(pri_res, dual_res, pri_norm, dual_norm, cache.rho,
-                          settings, dtype)
+    new_rho = _predicted_rho(state, cache, problem, settings, dtype)
     return taylor_update(cache, new_rho)
+
+
+def rebuild_update(cache: Cache, problem: Problem, new_rho, *,
+                   max_iter: int = 1000, tol: float = 1e-5) -> Cache:
+    """EXACT cache update at ``new_rho`` (extension behind
+    Settings.adaptive_rho_rebuild; the Taylor path stays reference-exact).
+
+    Re-runs the Riccati fixed point — the on-device batched analog of
+    re-calling tiny_precompute_and_set_cache
+    (/root/reference/src/codegen_src/tinympc/tiny_api.cpp:124-190) — at the
+    same double-rho-fold semantics the setup used (user cost
+    ``problem.Q - problem.rho_setup`` plus 2*new_rho), i.e. the exact
+    function whose first-order linearization the reference's Taylor update
+    extrapolates (rho_benchmark.cpp:199-212).  Unlike the Taylor update it
+    also refreshes ``Quu_inv``/``AmBKt`` (and keeps C1/C2 in sync): the
+    rebuilt cache is self-consistent, so adaptation works arbitrarily far
+    from the expansion center where the measured Taylor radius is |drho|~2
+    (docs/DESIGN.md §4).  Sensitivities are left untouched (constants of
+    the setup point, like the reference's).
+
+    Cold-starts the fixed point from P = rho*I with the reference's
+    stopping rule so the rebuilt terms match ``precompute_cache`` at
+    ``new_rho`` (pinned in tests/test_rho_rebuild.py)."""
+    from . import riccati
+
+    dtype = cache.Kinf.dtype
+    new_rho = jnp.asarray(new_rho, dtype)
+    # Fold order matters for bitwise parity with precompute_cache: the setup
+    # computes ((Q_user + rho) + rho) in two adds (make_problem then
+    # _cache_terms), not Q_user + 2*rho.
+    Q1d = problem.Q - problem.rho_setup + new_rho + new_rho
+    R1d = problem.R - problem.rho_setup + new_rho + new_rho
+    A, B = problem.A, problem.B
+    Kinf, Pinf = riccati.riccati_fixed_point(A, B, Q1d, R1d, new_rho,
+                                             max_iter=max_iter, tol=tol)
+    Quu_inv = jnp.linalg.inv(jnp.diag(R1d) + B.T @ Pinf @ B)
+    AmBKt = (A - B @ Kinf).T
+    return cache.replace(rho=new_rho, Kinf=Kinf, Pinf=Pinf,
+                         Quu_inv=Quu_inv, AmBKt=AmBKt,
+                         C1=Quu_inv, C2=AmBKt)
+
+
+def adapt_rho_rebuild(state: State, cache: Cache, problem: Problem,
+                      settings: Settings) -> Cache:
+    """One adaptive-rho step with the exact rebuild: the configured
+    controller driving rebuild_update instead of taylor_update."""
+    dtype = state.x.dtype
+    new_rho = _predicted_rho(state, cache, problem, settings, dtype)
+    return rebuild_update(cache, problem, new_rho)

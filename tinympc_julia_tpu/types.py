@@ -93,6 +93,12 @@ class Problem:
     cones_x: ConeSet
     cones_u: ConeSet
 
+    # The setup-time rho folded into Q/R (tiny_api.cpp:90-91).  Lets the
+    # opt-in exact adaptive-rho rebuild (Settings.adaptive_rho_rebuild)
+    # recover the user cost (Q - rho_setup) when re-running the Riccati
+    # fixed point at a new rho.  Scalar; (G,) under a leading group axis.
+    rho_setup: Array = 0.0
+
     @property
     def nx(self) -> int:
         return self.A.shape[-1]
@@ -139,6 +145,29 @@ class Settings:
     en_input_linear: bool = struct.field(pytree_node=False, default=False)
     adaptive_rho: bool = struct.field(pytree_node=False, default=False)
     adaptive_rho_enable_clipping: bool = struct.field(pytree_node=False, default=True)
+    # EXTENSION (off = reference behavior): on the rho-update gate, re-run
+    # the Riccati fixed point at the predicted rho (exact on-device cache
+    # rebuild, the batched analog of re-calling
+    # tiny_precompute_and_set_cache, tiny_api.cpp:124-190) instead of the
+    # first-order Taylor extrapolation (rho_benchmark.cpp:199-212), and
+    # refresh Quu_inv/AmBKt too (no dead-write quirk — the rebuilt cache is
+    # self-consistent, so adaptation works far outside the Taylor radius).
+    # Standard/batched paths only; the condensed/fused paths keep Taylor.
+    adaptive_rho_rebuild: bool = struct.field(pytree_node=False, default=False)
+    # EXTENSION ("osqp" = reference behavior): which residuals drive the rho
+    # prediction.  "osqp" is the reference's stacked OSQP-form controller
+    # (rho_benchmark.cpp:146-197) — measured structurally decay-biased on
+    # regulation problems (its q/P terms never vanish at convergence, so
+    # normalized_dual stays O(1) while normalized_pri -> 0; docs/DESIGN.md
+    # §4).  "termination" predicts from the solver's own termination
+    # residuals, each normalized by ITS OWN tolerance:
+    # rho *= sqrt((pri/pri_tol) / (dual/dua_tol)) — it raises rho when the
+    # primal check is the laggard and lowers it when the dual check is,
+    # directly targeting the termination condition.  Pair with
+    # adaptive_rho_rebuild: raising rho through the Taylor cache is
+    # measured-fatal (DESIGN §4 point 3).
+    adaptive_rho_controller: str = struct.field(pytree_node=False,
+                                                default="osqp")
 
 
 def settings_bake_key(s: Settings) -> tuple:
@@ -151,7 +180,8 @@ def settings_bake_key(s: Settings) -> tuple:
             float(s.relaxation_alpha), s.max_iter, s.check_termination,
             s.en_state_bound, s.en_input_bound, s.en_state_soc,
             s.en_input_soc, s.en_state_linear, s.en_input_linear,
-            s.adaptive_rho, s.adaptive_rho_enable_clipping)
+            s.adaptive_rho, s.adaptive_rho_enable_clipping,
+            s.adaptive_rho_rebuild, s.adaptive_rho_controller)
 
 
 def default_settings() -> Settings:
@@ -288,4 +318,5 @@ def make_problem(A, B, Q, R, rho, N, *, f=None, x_min=None, x_max=None,
         blin_u=jnp.zeros((0,), dtype) if blin_u is None else jnp.asarray(blin_u, dtype),
         cones_x=cones_x if cones_x is not None else ConeSet.empty(dtype),
         cones_u=cones_u if cones_u is not None else ConeSet.empty(dtype),
+        rho_setup=rho,
     )
