@@ -16,9 +16,14 @@ iteration maps; this kernel keeps that whole iteration VMEM-resident:
   terms are stacked-diagonal scalings, and the terminal Pinf(rho) row uses
   the Taylor pair (P0, dP).
 
-Scope: box constraints, shared problem, float32 — the adaptive-rho
-throughput configuration (e.g. the quadrotor sweep).  Semantics match
-solve_condensed_adaptive per lane, including `check_termination=k`
+Scope: box constraints, float32 — the adaptive-rho throughput
+configuration (e.g. the quadrotor sweep).  ``num_groups=G > 1`` adds a
+group grid dimension exactly like condensed_kernel.py: G distinct
+problems (per-group Taylor maps, residual maps, bounds, rho0) with L
+lanes each — the domain-randomized sweep with per-lane adaptive rho runs
+fully fused.  Semantics match solve_condensed_adaptive (grouped:
+solve_condensed_adaptive_grouped) per lane, including
+`check_termination=k`
 (residual/latch block only every k-th iteration) and the warm-start carry
 (AdaptiveFusedCarry mirrors ops/condensed.AdaptiveCondensedCarry: a
 continuation restarts the iteration counter, so the i>0 rho-update gate
@@ -81,6 +86,18 @@ def _residual_maps(A, B, N):
     return Dx, Du, Gx, Gu
 
 
+def _as_grouped(a, G, nd, name):
+    """Normalize host problem data of per-group rank ``nd`` to a leading
+    (G, ...) group axis (shared data broadcasts)."""
+    a = np.asarray(a, np.float32)
+    if a.ndim == nd:
+        a = a[None]
+    if a.ndim != nd + 1 or a.shape[0] not in (1, G):
+        raise ValueError(f"{name}: expected ({G}, ...) or shared data of "
+                         f"rank {nd}, got shape {a.shape}")
+    return np.broadcast_to(a, (G,) + a.shape[1:])
+
+
 def make_condensed_adaptive_fused_solver(
         A, B, Qdiag, Rdiag, Pinf, dPinf, N, *,
         batch_tile: int = 2048, max_iter: int = 100,
@@ -92,6 +109,7 @@ def make_condensed_adaptive_fused_solver(
         check_termination: int = 1,
         warm_start: bool = False, carry_out: bool = False,
         precision=jax.lax.Precision.HIGHEST,
+        num_groups: int = 1,
         interpret: bool = False):
     """Build the jitted adaptive-rho fused solver.
 
@@ -115,9 +133,10 @@ def make_condensed_adaptive_fused_solver(
     (nx ~ 12, N ~ 20) use batch_tile <= 512 to stay under the ~16 MiB
     scoped-vmem stack limit (cartpole-sized problems run at 2048).
     """
-    A = np.asarray(A, np.float32)
-    B = np.asarray(B, np.float32)
-    nx, nu = B.shape
+    G = num_groups
+    A = _as_grouped(A, G, 2, "A")
+    B = _as_grouped(B, G, 2, "B")
+    nx, nu = B.shape[-2:]
     Bt = batch_tile
     su, sx = (N - 1) * nu, N * nx
     in1 = su + nx + 1
@@ -127,39 +146,66 @@ def make_condensed_adaptive_fused_solver(
     if ct < 1:
         raise ValueError("check_termination must be >= 1 on the fused "
                          f"adaptive kernel (got {ct})")
+    # No state bound => the state dual g is identically zero (bit-exact
+    # induction from g0 = 0, see condensed_kernel.py): drop the g scratch
+    # and its sx-row updates, and the whole A^T g residual block (the Gx/Gu
+    # contractions — two of the five matmuls in the rho-prediction path).
+    state_free = not en_state_bound
     STEP = math.lcm(RHO_INTERVAL, ct)
     assert max_iter % STEP == 0, \
         (f"max_iter must be a multiple of lcm(check_termination, "
          f"{RHO_INTERVAL}) = {STEP} (got {max_iter})")
-    Dx_m, Du_m, Gx_m, Gu_m = _residual_maps(A, B, N)
-    qd_m = np.asarray(Qdiag, np.float32).reshape(-1)
-    rd_m = np.asarray(Rdiag, np.float32).reshape(-1)
-    qstk = np.tile(qd_m, N).reshape(sx, 1)
-    rstk = np.tile(rd_m, N - 1).reshape(su, 1)
-    P0_m = np.asarray(Pinf, np.float32)
-    dP_m = np.asarray(dPinf, np.float32)
+    rmaps = [_residual_maps(A[g], B[g], N) for g in range(G)]
+    Dx_m, Du_m, Gx_m, Gu_m = (np.stack([m[k] for m in rmaps])
+                              for k in range(4))
+    qd_m = _as_grouped(Qdiag, G, 1, "Qdiag")
+    rd_m = _as_grouped(Rdiag, G, 1, "Rdiag")
+    qstk = np.tile(qd_m, (1, N)).reshape(G, sx, 1)
+    rstk = np.tile(rd_m, (1, N - 1)).reshape(G, su, 1)
+    P0_m = _as_grouped(Pinf, G, 2, "Pinf")
+    dP_m = _as_grouped(dPinf, G, 2, "dPinf")
     _dot = _make_dot(precision)
 
     def kernel(*refs):
         it = iter(refs)
         (T1s_r, T2s_r, rho0_r, umin_r, umax_r, xmin_r, xmax_r,
-         Dx_r, Du_r, Gx_r, Gu_r, qd_r, rd_r, P0_r, dP_r,
-         x0_r) = (next(it) for _ in range(16))
+         Dx_r, Du_r) = (next(it) for _ in range(9))
+        if not state_free:
+            Gx_r, Gu_r = (next(it) for _ in range(2))
+        qd_r, rd_r, P0_r, dP_r, x0_r = (next(it) for _ in range(5))
         if warm_start:
-            d0_r, y0_r, g0_r, v0_r, z0_r, rhoc_r = (
-                next(it) for _ in range(6))
+            if state_free:
+                d0_r, y0_r, v0_r, z0_r, rhoc_r = (
+                    next(it) for _ in range(5))
+            else:
+                d0_r, y0_r, g0_r, v0_r, z0_r, rhoc_r = (
+                    next(it) for _ in range(6))
         xout_r, uout_r, iters_r, solved_r, rho_r = (
             next(it) for _ in range(5))
         if carry_out:
-            dco_r, yco_r, gco_r, vco_r, zco_r = (
+            if state_free:
+                dco_r, yco_r, vco_r, zco_r = (next(it) for _ in range(4))
+            else:
+                dco_r, yco_r, gco_r, vco_r, zco_r = (
+                    next(it) for _ in range(5))
+        if state_free:
+            y_s, vec1_s, vec2_s, rho_s, conv_s = (
                 next(it) for _ in range(5))
-        y_s, g_s, vec1_s, vec2_s, rho_s, conv_s = (
-            next(it) for _ in range(6))
+            g_s = None
+        else:
+            y_s, g_s, vec1_s, vec2_s, rho_s, conv_s = (
+                next(it) for _ in range(6))
 
-        T1s = T1s_r[...]          # ((o+1)(su+sx), in1)
-        T2s = T2s_r[...]          # (4 su, in2r)
+        # group-indexed inputs arrive as (1, rows, cols) blocks
+        T1s = T1s_r[0]            # ((o+1)(su+sx), in1)
+        T2s = T2s_r[0]            # (4 su, in2r)
         order = T1s.shape[0] // (su + sx) - 1
-        rho0 = rho0_r[0, 0]
+        rho0 = rho0_r[0, 0, 0]
+        umin, umax = umin_r[0], umax_r[0]
+        xmin, xmax = xmin_r[0], xmax_r[0]
+        Dx, Du = Dx_r[0], Du_r[0]
+        qd, rd = qd_r[0], rd_r[0]
+        P0, dP = P0_r[0], dP_r[0]
 
         vec1_s[...] = jnp.zeros_like(vec1_s)
         vec1_s[su:su + nx] = x0_r[...]
@@ -169,13 +215,15 @@ def make_condensed_adaptive_fused_solver(
         if warm_start:
             vec1_s[:su] = d0_r[...]
             y_s[...] = y0_r[...]
-            g_s[...] = g0_r[...]
+            if not state_free:
+                g_s[...] = g0_r[...]
             xout_r[...] = v0_r[...]
             uout_r[...] = z0_r[...]
             rho_s[...] = rhoc_r[...]
         else:
             y_s[...] = jnp.zeros_like(y_s)
-            g_s[...] = jnp.zeros_like(g_s)
+            if not state_free:
+                g_s[...] = jnp.zeros_like(g_s)
             xout_r[...] = jnp.zeros_like(xout_r)
             uout_r[...] = jnp.zeros_like(uout_r)
             rho_s[...] = jnp.full_like(rho_s, rho0)
@@ -193,36 +241,42 @@ def make_condensed_adaptive_fused_solver(
         dua_tol = jnp.float32(abs_dua_tol)
         eps = jnp.float32(EPS)
 
-        def predict(x, u, znew, vnew, y, g, drho, rho_b):
+        def predict(x, u, znew, vnew, y, drho, rho_b):
             """Per-lane OSQP residuals -> predicted rho
-            (ops/condensed._osqp_residuals_stacked + ops/rho.predict_rho)."""
+            (ops/condensed._osqp_residuals_stacked + ops/rho.predict_rho).
+            With state_free, g == 0 exactly: the A^T g terms vanish
+            (aty_states = 0, aty_inputs = y) and the Gx/Gu contractions are
+            skipped entirely."""
             def amax(t):
                 return jnp.max(jnp.abs(t), axis=0)[None, :]  # (1, Bt)
 
-            dyn = _dot(Dx_r[...], x) + _dot(Du_r[...], u)
+            dyn = _dot(Dx, x) + _dot(Du, u)
             v_tail = vnew[nx:]
             pri_res = jnp.maximum(amax(u - znew), amax(dyn - v_tail))
             pri_norm = jnp.maximum(jnp.maximum(amax(u), amax(dyn)),
                                    jnp.maximum(amax(znew), amax(v_tail)))
 
-            qd = qd_r[...]
-            rd = rd_r[...]
             xN = x[sx - nx:]
-            PxN = _dot(P0_r[...], xN) + drho * _dot(dP_r[...], xN)
+            PxN = _dot(P0, xN) + drho * _dot(dP, xN)
             px_head = x[:sx - nx] * qd[:sx - nx]
             q_states = x * qd
             q_inputs = u * rd
-            aty_s = _dot(Gx_r[...], g)
-            aty_u = _dot(Gu_r[...], g) + y
-
-            r_ds_head = px_head + q_states[:sx - nx] + aty_s[:sx - nx]
-            r_ds_term = PxN + q_states[sx - nx:] + aty_s[sx - nx:]
+            if state_free:
+                aty_u = y
+                r_ds_head = px_head + q_states[:sx - nx]
+                r_ds_term = PxN + q_states[sx - nx:]
+                aty_inf = amax(y)
+            else:
+                aty_s = _dot(Gx_r[0], g_s[...])
+                aty_u = _dot(Gu_r[0], g_s[...]) + y
+                r_ds_head = px_head + q_states[:sx - nx] + aty_s[:sx - nx]
+                r_ds_term = PxN + q_states[sx - nx:] + aty_s[sx - nx:]
+                aty_inf = jnp.maximum(amax(aty_s), amax(aty_u))
             r_di = q_inputs + u * rd + aty_u
             dual_res = jnp.maximum(jnp.maximum(amax(r_ds_head),
                                                amax(r_ds_term)), amax(r_di))
             px_inf = jnp.maximum(jnp.maximum(amax(px_head), amax(PxN)),
                                  amax(u * rd))
-            aty_inf = jnp.maximum(amax(aty_s), amax(aty_u))
             q_inf = jnp.maximum(amax(q_states), amax(q_inputs))
             dual_norm = jnp.maximum(jnp.maximum(px_inf, aty_inf), q_inf)
 
@@ -255,23 +309,25 @@ def make_condensed_adaptive_fused_solver(
                 u_hat, x_hat = u, x
             znew = u_hat + y_s[...]
             if en_input_bound:
-                znew = jnp.minimum(umax_r[...],
-                                   jnp.maximum(umin_r[...], znew))
-            vnew = x_hat + g_s[...]
-            if en_state_bound:
-                vnew = jnp.minimum(xmax_r[...],
-                                   jnp.maximum(xmin_r[...], vnew))
+                znew = jnp.minimum(umax, jnp.maximum(umin, znew))
+            if state_free:
+                vnew = x_hat
+            else:
+                vnew = x_hat + g_s[...]
+                if en_state_bound:
+                    vnew = jnp.minimum(xmax, jnp.maximum(xmin, vnew))
 
             prev = conv_s[...] != 0
             y_new = jnp.where(prev, y_s[...], y_s[...] + u_hat - znew)
-            g_new = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
             y_s[...] = y_new
-            g_s[...] = g_new
+            if not state_free:
+                g_new = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
+                g_s[...] = g_new
 
             if update_slot:
                 # reference gate: i > 0 and i % 5 == 0; converged lanes
                 # keep their rho
-                pred = predict(x, u, znew, vnew, y_new, g_new, drho, rho_b)
+                pred = predict(x, u, znew, vnew, y_new, drho, rho_b)
                 do = jnp.logical_and(i > 0, jnp.logical_not(prev))
                 rho_new = jnp.where(do, pred, rho_b)
             else:
@@ -304,7 +360,7 @@ def make_condensed_adaptive_fused_solver(
 
             # backward: cost fold at PRE-update rho, gain K at POST-update
             vec2_s[:su] = znew - y_new
-            vec2_s[su:su + sx] = vnew - g_new
+            vec2_s[su:su + sx] = vnew if state_free else vnew - g_new
             R2 = _dot(T2s, vec2_s[...])
             d_new = (R2[:su] + drho * R2[su:2 * su]
                      + drho_new * R2[2 * su:3 * su]
@@ -334,42 +390,80 @@ def make_condensed_adaptive_fused_solver(
         if carry_out:
             dco_r[...] = vec1_s[:su]
             yco_r[...] = y_s[...]
-            gco_r[...] = g_s[...]
+            if not state_free:
+                gco_r[...] = g_s[...]
 
-    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    def tile_spec(rows):
-        return pl.BlockSpec((rows, Bt), lambda t: (0, t),
+    def gspec(rows, cols):
+        """Group-indexed (1, rows, cols) block of a (G, rows, cols) array."""
+        return pl.BlockSpec((1, rows, cols), lambda g, t: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     @jax.jit
     def solve_fn(tmaps: CondensedTaylorMaps, u_min, u_max, x_min, x_max,
                  x0s, warm: AdaptiveFusedCarry = None):
-        Btot = x0s.shape[0]
-        assert Btot % Bt == 0, f"batch {Btot} not a multiple of tile {Bt}"
         f32 = jnp.float32
-        order = tmaps.T1s.shape[0] - 1
-        T1stk = tmaps.T1s.astype(f32).reshape((order + 1) * (su + sx), in1)
+        if x0s.ndim == 3:
+            # grouped layout (G, L, nx) — also valid at G == 1
+            assert x0s.shape[0] == G, \
+                f"grouped solver needs x0s (G={G}, L, nx); got {x0s.shape}"
+            x0s = x0s.reshape(G * x0s.shape[1], x0s.shape[2])
+        elif G > 1:
+            assert x0s.shape[0] % G == 0, \
+                f"flat x0s batch {x0s.shape[0]} not divisible by G={G}"
+        Btot = x0s.shape[0]
+        assert Btot % (G * Bt) == 0, \
+            f"batch {Btot} not a multiple of groups*tile {G}*{Bt}"
+        tpg = Btot // (G * Bt)  # lane tiles per group
+
+        def tile_spec(rows):
+            return pl.BlockSpec((rows, Bt), lambda g, t: (0, g * tpg + t),
+                                memory_space=pltpu.VMEM)
+
+        T1s = tmaps.T1s.astype(f32)
+        if T1s.ndim == 3:
+            T1s = jnp.broadcast_to(T1s[None], (G,) + T1s.shape)
+        order = T1s.shape[1] - 1
+        T1stk = T1s.reshape(G, (order + 1) * (su + sx), in1)
         T2s = tmaps.T2s.astype(f32)
-        T2stk = jnp.concatenate([T2s[:, :, :su + sx], T2s[:, :, -1:]],
-                                axis=2).reshape(4 * su, in2r)
+        if T2s.ndim == 3:
+            T2s = jnp.broadcast_to(T2s[None], (G,) + T2s.shape)
+        T2stk = jnp.concatenate([T2s[..., :su + sx], T2s[..., -1:]],
+                                axis=-1).reshape(G, 4 * su, in2r)
+
+        def bound(b, rows):
+            b = jnp.asarray(b, f32)
+            if b.size == G * rows:
+                return b.reshape(G, rows, 1)
+            return jnp.broadcast_to(b.reshape(rows, 1), (G, rows, 1))
+
         args = [
-            T1stk, T2stk, tmaps.rho0.astype(f32)[None, None],
-            u_min.reshape(su, 1).astype(f32), u_max.reshape(su, 1).astype(f32),
-            x_min.reshape(sx, 1).astype(f32), x_max.reshape(sx, 1).astype(f32),
-            jnp.asarray(Dx_m), jnp.asarray(Du_m), jnp.asarray(Gx_m),
-            jnp.asarray(Gu_m), jnp.asarray(qstk), jnp.asarray(rstk),
-            jnp.asarray(P0_m), jnp.asarray(dP_m),
-            x0s.T.astype(f32),
+            T1stk, T2stk,
+            jnp.broadcast_to(tmaps.rho0.astype(f32).reshape(-1, 1, 1),
+                             (G, 1, 1)),
+            bound(u_min, su), bound(u_max, su),
+            bound(x_min, sx), bound(x_max, sx),
+            jnp.asarray(Dx_m), jnp.asarray(Du_m),
         ]
-        in_specs = [shared] * 15 + [tile_spec(nx)]
+        if not state_free:
+            args += [jnp.asarray(Gx_m), jnp.asarray(Gu_m)]
+        args += [jnp.asarray(qstk), jnp.asarray(rstk),
+                 jnp.asarray(P0_m), jnp.asarray(dP_m),
+                 x0s.T.astype(f32)]
+        in_specs = ([gspec(a.shape[1], a.shape[2]) for a in args[:-1]]
+                    + [tile_spec(nx)])
         if warm_start:
             if warm is None:
                 raise ValueError("warm_start solver needs the warm carry")
             d0, y0, g0, v0, z0, rhoc = (w.astype(f32) for w in warm)
-            args += [d0, y0, g0, v0, z0, rhoc]
-            in_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
-                         tile_spec(sx), tile_spec(su), tile_spec(1)]
+            if state_free:
+                # g slot is interface-compat only (identically zero)
+                args += [d0, y0, v0, z0, rhoc]
+                in_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+                             tile_spec(su), tile_spec(1)]
+            else:
+                args += [d0, y0, g0, v0, z0, rhoc]
+                in_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
+                             tile_spec(sx), tile_spec(su), tile_spec(1)]
         elif warm is not None:
             raise ValueError("pass warm only to a warm_start=True solver")
         out_specs = [tile_spec(sx), tile_spec(su), tile_spec(1),
@@ -382,16 +476,15 @@ def make_condensed_adaptive_fused_solver(
             jax.ShapeDtypeStruct((1, Btot), f32),
         ]
         if carry_out:
-            out_specs += [tile_spec(su), tile_spec(su), tile_spec(sx),
-                          tile_spec(sx), tile_spec(su)]
-            out_shape += [jax.ShapeDtypeStruct((su, Btot), f32),
-                          jax.ShapeDtypeStruct((su, Btot), f32),
-                          jax.ShapeDtypeStruct((sx, Btot), f32),
-                          jax.ShapeDtypeStruct((sx, Btot), f32),
-                          jax.ShapeDtypeStruct((su, Btot), f32)]
-        scratch_shapes = [
-            pltpu.VMEM((su, Bt), f32),    # y
-            pltpu.VMEM((sx, Bt), f32),    # g
+            carry_dims = ([su, su, sx, su] if state_free
+                          else [su, su, sx, sx, su])
+            out_specs += [tile_spec(d) for d in carry_dims]
+            out_shape += [jax.ShapeDtypeStruct((d, Btot), f32)
+                          for d in carry_dims]
+        scratch_shapes = [pltpu.VMEM((su, Bt), f32)]       # y
+        if not state_free:
+            scratch_shapes.append(pltpu.VMEM((sx, Bt), f32))  # g
+        scratch_shapes += [
             pltpu.VMEM((in1, Bt), f32),   # vec1 = [d; x0; 1]
             pltpu.VMEM((in2r, Bt), f32),  # vec2 = [znew - y; vnew - g; 1]
             pltpu.VMEM((1, Bt), f32),     # rho
@@ -399,7 +492,7 @@ def make_condensed_adaptive_fused_solver(
         ]
         out = pl.pallas_call(
             kernel,
-            grid=(Btot // Bt,),
+            grid=(G, tpg),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
@@ -411,6 +504,10 @@ def make_condensed_adaptive_fused_solver(
         res = (vs.T.reshape(Bn, N, nx), zs.T.reshape(Bn, N - 1, nu),
                iters[0], solved[0], rho[0])
         if carry_out:
+            if state_free:
+                dc, yc, vc, zc = out[5:9]
+                gc = jnp.zeros((sx, Btot), f32)
+                return res + (AdaptiveFusedCarry(dc, yc, gc, vc, zc, rho),)
             return res + (AdaptiveFusedCarry(out[5], out[6], out[7],
                                              out[8], out[9], rho),)
         return res

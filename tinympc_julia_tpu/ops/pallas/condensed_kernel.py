@@ -117,7 +117,8 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 warm_start: bool = False,
                                 carry_out: bool = False,
                                 num_groups: int = 1,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                _disable_state_free: bool = False):
     """Build a jitted fused condensed solver.
 
     Returns solve_fn(maps, rho, u_min, u_max, x_min, x_max, x0s[, warm]) ->
@@ -162,40 +163,82 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         raise ValueError(
             "check_termination must be >= 1 and divide max_iter on the fused "
             f"kernel (got check_termination={ct}, max_iter={max_iter})")
+    # With no state-side constraint the state dual is identically zero:
+    # vnew = x_hat + g has no projection, so g' = g + x_hat - vnew == 0
+    # bit-exactly from g0 = 0.  The whole g machinery (the LARGE sx-row
+    # arrays) drops out of the per-iteration VPU work: vnew = x_hat,
+    # w2[su:] = x_hat.  Bit-exact vs the generic path (measured lever for
+    # the cartpole shape, which is VPU-issue bound — docs/DESIGN.md §5).
+    # _disable_state_free: A/B-measurement escape hatch (tools/vpu_ceiling.py)
+    # forcing the generic g-carrying path; results are identical either way.
+    state_free = ((not en_state_bound) and not soc_x and lin_x is None
+                  and not _disable_state_free)
     _dot = _make_dot(precision)
 
-    # host-built constraint selector matrices (static inputs)
+    # host-built constraint selector matrices (static inputs).  STRUCTURE
+    # (cone starts/dims, halfspace row count) is shared across groups;
+    # DATA (cone mu, halfspace a/b rows) may vary per group — mu/b ride as
+    # (G, 1, 1) group-indexed inputs and the per-row halfspace selector
+    # matrices stack along the group axis exactly like T12.
+    G = num_groups
+
+    def _per_group(v, what):
+        """Normalize a scalar-or-(G,) constraint datum to shape (G,)."""
+        a = np.asarray(v, np.float64).reshape(-1)
+        if a.size == 1:
+            return np.broadcast_to(a, (G,))
+        if a.size != G:
+            raise ValueError(f"{what}: expected a scalar or ({G},) per-group "
+                             f"values, got {np.asarray(v).shape}")
+        return a
+
     def _lin_mats(lin, n_stages, dim):
         if lin is None:
             return []
-        Alin, blin = np.asarray(lin[0], np.float64), np.asarray(lin[1])
+        Alin = np.asarray(lin[0], np.float64)
+        blin = np.asarray(lin[1], np.float64)
+        if Alin.ndim == 2:
+            Alin = np.broadcast_to(Alin[None], (G,) + Alin.shape)
+        if Alin.shape[0] != G:
+            raise ValueError(f"Alin: leading group axis must be {G}")
+        if blin.ndim == 1:
+            blin = np.broadcast_to(blin[None], (G, blin.shape[0]))
         rows = []
-        for j in range(Alin.shape[0]):
-            a = Alin[j]
-            inv_sq = 1.0 / max(float(a @ a), 1e-30)
-            SelA, Upd = _halfspace_selectors(n_stages, dim, a, inv_sq)
-            rows.append((SelA, Upd, float(blin[j])))
+        for j in range(Alin.shape[1]):
+            SelAs, Upds = [], []
+            for g in range(G):
+                a = Alin[g, j]
+                inv_sq = 1.0 / max(float(a @ a), 1e-30)
+                SelA, Upd = _halfspace_selectors(n_stages, dim, a, inv_sq)
+                SelAs.append(SelA)
+                Upds.append(Upd)
+            rows.append((np.stack(SelAs), np.stack(Upds),
+                         blin[:, j].astype(np.float32)))
         return rows
 
-    soc_u_mats = [(_cone_selectors(N - 1, nu, s, d), float(mu))
+    soc_u_mats = [(_cone_selectors(N - 1, nu, s, d), _per_group(mu, "soc mu"))
                   for (s, d, mu) in soc_u]
-    soc_x_mats = [(_cone_selectors(N, nx, s, d), float(mu))
+    soc_x_mats = [(_cone_selectors(N, nx, s, d), _per_group(mu, "soc mu"))
                   for (s, d, mu) in soc_x]
     lin_u_mats = _lin_mats(lin_u, N - 1, nu)
     lin_x_mats = _lin_mats(lin_x, N, nx)
-    n_cref = 5 * (len(soc_u_mats) + len(soc_x_mats)) \
-        + 2 * (len(lin_u_mats) + len(lin_x_mats))
+    n_cref = 6 * (len(soc_u_mats) + len(soc_x_mats)) \
+        + 3 * (len(lin_u_mats) + len(lin_x_mats))
 
-    def _apply_lin(w, refs, b):
-        """One cyclic halfspace projection on the stacked array."""
-        SelA, Upd = (r[...] for r in refs)
-        viol = jnp.maximum(_dot(SelA, w) - b, 0.0)
-        return w - _dot(Upd, viol)
+    def _apply_lin(w, refs):
+        """One cyclic halfspace projection on the stacked array (per-group
+        selector matrices + bound)."""
+        SelA_r, Upd_r, b_r = refs
+        viol = jnp.maximum(_dot(SelA_r[0], w) - b_r[0, 0, 0], 0.0)
+        return w - _dot(Upd_r[0], viol)
 
-    def _apply_soc(w, refs, mu):
+    def _apply_soc(w, refs):
         """One per-stage scaled-SOC projection on the stacked array
-        (_project_soc_scaled semantics)."""
-        SelV, SelS, ExpV, ExpS, rowmask = (r[...] for r in refs)
+        (_project_soc_scaled semantics; mu is a per-group input)."""
+        SelV_r, SelS_r, ExpV_r, ExpS_r, rowmask_r, mu_r = refs
+        SelV, SelS, ExpV, ExpS, rowmask = (
+            r[...] for r in (SelV_r, SelS_r, ExpV_r, ExpS_r, rowmask_r))
+        mu = mu_r[0, 0, 0]
         a = jnp.sqrt(_dot(SelV, w * w))          # (n_stages, Bt)
         s = _dot(SelS, w)
         u0 = s * mu
@@ -214,16 +257,27 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         it = iter(refs)
         T12w_r, T12c_r, Tx0_r, T1c_r, rho_r = (next(it) for _ in range(5))
         umin_r, umax_r, xmin_r, xmax_r, x0_r = (next(it) for _ in range(5))
-        soc_u_refs = [[next(it) for _ in range(5)] for _ in soc_u_mats]
-        soc_x_refs = [[next(it) for _ in range(5)] for _ in soc_x_mats]
-        lin_u_refs = [[next(it) for _ in range(2)] for _ in lin_u_mats]
-        lin_x_refs = [[next(it) for _ in range(2)] for _ in lin_x_mats]
+        soc_u_refs = [[next(it) for _ in range(6)] for _ in soc_u_mats]
+        soc_x_refs = [[next(it) for _ in range(6)] for _ in soc_x_mats]
+        lin_u_refs = [[next(it) for _ in range(3)] for _ in lin_u_mats]
+        lin_x_refs = [[next(it) for _ in range(3)] for _ in lin_x_mats]
         if warm_start:
-            w20_r, y0_r, g0_r, v0_r, z0_r = (next(it) for _ in range(5))
+            if state_free:
+                w20_r, y0_r, v0_r, z0_r = (next(it) for _ in range(4))
+            else:
+                w20_r, y0_r, g0_r, v0_r, z0_r = (next(it) for _ in range(5))
         xout_r, uout_r, iters_r, solved_r = (next(it) for _ in range(4))
         if carry_out:
-            wco_r, yco_r, gco_r, vco_r, zco_r = (next(it) for _ in range(5))
-        y_s, g_s, uxc_s, w2_s, conv_s = (next(it) for _ in range(5))
+            if state_free:
+                wco_r, yco_r, vco_r, zco_r = (next(it) for _ in range(4))
+            else:
+                wco_r, yco_r, gco_r, vco_r, zco_r = (
+                    next(it) for _ in range(5))
+        if state_free:
+            y_s, uxc_s, w2_s, conv_s = (next(it) for _ in range(4))
+            g_s = None
+        else:
+            y_s, g_s, uxc_s, w2_s, conv_s = (next(it) for _ in range(5))
 
         # group-indexed inputs arrive as (1, rows, cols) blocks
         T12w = T12w_r[0]
@@ -239,13 +293,15 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         if warm_start:
             w2_s[...] = w20_r[...]
             y_s[...] = y0_r[...]
-            g_s[...] = g0_r[...]
+            if not state_free:
+                g_s[...] = g0_r[...]
             xout_r[...] = v0_r[...]
             uout_r[...] = z0_r[...]
         else:
             w2_s[...] = jnp.zeros_like(w2_s)
             y_s[...] = jnp.zeros_like(y_s)
-            g_s[...] = jnp.zeros_like(g_s)
+            if not state_free:
+                g_s[...] = jnp.zeros_like(g_s)
             xout_r[...] = jnp.zeros_like(xout_r)
             uout_r[...] = jnp.zeros_like(uout_r)
         if carry_out:
@@ -280,25 +336,30 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             znew = u_hat + y_s[...]
             if en_input_bound:
                 znew = jnp.minimum(umax, jnp.maximum(umin, znew))
-            vnew = x_hat + g_s[...]
-            if en_state_bound:
-                vnew = jnp.minimum(xmax, jnp.maximum(xmin, vnew))
+            if state_free:
+                # no state projection: vnew = x_hat + g with g == 0
+                vnew = x_hat
+            else:
+                vnew = x_hat + g_s[...]
+                if en_state_bound:
+                    vnew = jnp.minimum(xmax, jnp.maximum(xmin, vnew))
             # composition order: box -> linear -> SOC (ops/condensed.py)
-            for refs_j, (_, _, b) in zip(lin_u_refs, lin_u_mats):
-                znew = _apply_lin(znew, refs_j, b)
-            for refs_j, (_, _, b) in zip(lin_x_refs, lin_x_mats):
-                vnew = _apply_lin(vnew, refs_j, b)
-            for refs_j, (_, mu) in zip(soc_u_refs, soc_u_mats):
-                znew = _apply_soc(znew, refs_j, mu)
-            for refs_j, (_, mu) in zip(soc_x_refs, soc_x_mats):
-                vnew = _apply_soc(vnew, refs_j, mu)
+            for refs_j in lin_u_refs:
+                znew = _apply_lin(znew, refs_j)
+            for refs_j in lin_x_refs:
+                vnew = _apply_lin(vnew, refs_j)
+            for refs_j in soc_u_refs:
+                znew = _apply_soc(znew, refs_j)
+            for refs_j in soc_x_refs:
+                vnew = _apply_soc(vnew, refs_j)
 
             prev = conv_s[...] != 0
             # converged lanes freeze entirely (reference early-return)
             y_new = jnp.where(prev, y_s[...], y_s[...] + u_hat - znew)
-            g_new = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
             y_s[...] = y_new
-            g_s[...] = g_new
+            if not state_free:
+                g_new = jnp.where(prev, g_s[...], g_s[...] + x_hat - vnew)
+                g_s[...] = g_new
 
             if check:
                 ps = jnp.max(jnp.abs(x - vnew), axis=0)
@@ -330,7 +391,8 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             # w2 freezes exactly when d would (masked write) so a warm
             # continuation reproduces the frozen lane's iterates bit-exactly.
             w2_s[:su] = jnp.where(conv_all, w2_s[:su], znew - y_new)
-            w2_s[su:] = jnp.where(conv_all, w2_s[su:], vnew - g_new)
+            w2_s[su:] = jnp.where(conv_all, w2_s[su:],
+                                  vnew if state_free else vnew - g_new)
 
             return jnp.all(conv_all) if check else jnp.bool_(False)
 
@@ -369,7 +431,8 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         if carry_out:
             wco_r[...] = w2_s[...]
             yco_r[...] = y_s[...]
-            gco_r[...] = g_s[...]
+            if not state_free:
+                gco_r[...] = g_s[...]
 
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     G = num_groups
@@ -426,23 +489,39 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             bound(x_min, sx), bound(x_max, sx),
             x0s.T.astype(f32),
         ]
-        for (SelV, SelS, ExpV, ExpS, rowmask), _ in (*soc_u_mats,
-                                                     *soc_x_mats):
-            args += [jnp.asarray(m) for m in (SelV, SelS, ExpV, ExpS,
-                                              rowmask)]
-        for SelA, Upd, _ in (*lin_u_mats, *lin_x_mats):
-            args += [jnp.asarray(SelA), jnp.asarray(Upd)]
+        cargs, cspecs = [], []
+        for (SelV, SelS, ExpV, ExpS, rowmask), mu in (*soc_u_mats,
+                                                      *soc_x_mats):
+            cargs += [jnp.asarray(m) for m in (SelV, SelS, ExpV, ExpS,
+                                               rowmask)]
+            cspecs += [shared] * 5
+            cargs.append(jnp.asarray(mu.reshape(G, 1, 1), f32))
+            cspecs.append(gspec(1, 1))
+        for SelA, Upd, b in (*lin_u_mats, *lin_x_mats):
+            cargs += [jnp.asarray(SelA, f32), jnp.asarray(Upd, f32),
+                      jnp.asarray(b.reshape(G, 1, 1), f32)]
+            cspecs += [gspec(SelA.shape[1], SelA.shape[2]),
+                       gspec(Upd.shape[1], Upd.shape[2]), gspec(1, 1)]
+        assert len(cargs) == n_cref
+        args += cargs
         in_specs = ([gspec(sw, sw), gspec(sw, 1), gspec(sw, nx), gspec(sw, 1),
                      gspec(1, 1),
                      gspec(su, 1), gspec(su, 1), gspec(sx, 1), gspec(sx, 1)]
-                    + [tile_spec(nx)] + [shared] * n_cref)
+                    + [tile_spec(nx)] + cspecs)
         if warm_start:
             if warm is None:
                 raise ValueError("warm_start solver needs the warm carry")
             w20, y0, g0, v0, z0 = (w.astype(f32) for w in warm)
-            args += [w20, y0, g0, v0, z0]
-            in_specs += [tile_spec(sw), tile_spec(su), tile_spec(sx),
-                         tile_spec(sx), tile_spec(su)]
+            if state_free:
+                # g is identically zero on this config; the carry slot is
+                # interface-compatibility only (not DMA'd into the kernel)
+                args += [w20, y0, v0, z0]
+                in_specs += [tile_spec(sw), tile_spec(su),
+                             tile_spec(sx), tile_spec(su)]
+            else:
+                args += [w20, y0, g0, v0, z0]
+                in_specs += [tile_spec(sw), tile_spec(su), tile_spec(sx),
+                             tile_spec(sx), tile_spec(su)]
         elif warm is not None:
             raise ValueError("pass warm only to a warm_start=True solver")
 
@@ -454,16 +533,15 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             jax.ShapeDtypeStruct((1, Btot), jnp.int32),
         ]
         if carry_out:
-            out_specs += [tile_spec(sw), tile_spec(su), tile_spec(sx),
-                          tile_spec(sx), tile_spec(su)]
-            out_shape += [jax.ShapeDtypeStruct((sw, Btot), f32),
-                          jax.ShapeDtypeStruct((su, Btot), f32),
-                          jax.ShapeDtypeStruct((sx, Btot), f32),
-                          jax.ShapeDtypeStruct((sx, Btot), f32),
-                          jax.ShapeDtypeStruct((su, Btot), f32)]
-        scratch_shapes = [
-            pltpu.VMEM((su, Bt), f32),    # y
-            pltpu.VMEM((sx, Bt), f32),    # g
+            carry_dims = [sw, su, sx, su] if state_free else [sw, su, sx,
+                                                              sx, su]
+            out_specs += [tile_spec(d) for d in carry_dims]
+            out_shape += [jax.ShapeDtypeStruct((d, Btot), f32)
+                          for d in carry_dims]
+        scratch_shapes = [pltpu.VMEM((su, Bt), f32)]       # y
+        if not state_free:
+            scratch_shapes.append(pltpu.VMEM((sx, Bt), f32))  # g
+        scratch_shapes += [
             pltpu.VMEM((sw, Bt), f32),    # uxc = x0/const rollout (+ T12c)
             pltpu.VMEM((sw, Bt), f32),    # w2 = [znew - y; vnew - g]
             pltpu.VMEM((1, Bt), jnp.int32),  # conv
@@ -482,6 +560,10 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         res = (vs.T.reshape(B, N, nx), zs.T.reshape(B, N - 1, nu),
                iters[0], solved[0])
         if carry_out:
+            if state_free:
+                w2c, yc, vc, zc = out[4:8]
+                gc = jnp.zeros((sx, Btot), f32)
+                return res + (FusedCarry(w2c, yc, gc, vc, zc),)
             return res + (FusedCarry(*out[4:9]),)
         return res
 
