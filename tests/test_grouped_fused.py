@@ -86,15 +86,99 @@ class TestGroupedFused:
         # bounds must actually differ for this test to mean anything
         assert np.ptp(ub) > 0.5
 
-    def test_per_group_cone_data_rejected(self):
-        """Per-group SOC mus on the fused path raise with a pointer to the
-        condensed path."""
+    def test_grouped_adaptive_fused_matches_condensed(self):
+        """VERDICT r3 item 3(a): the adaptive kernel's group grid — per-lane
+        adaptive rho on G distinct problems, pinned per-lane (iteration
+        counts exact, iterates at f32 level) against the grouped condensed
+        adaptive path."""
+        from tinympc_julia_tpu.ops.condensed import (
+            solve_condensed_adaptive_grouped)
+        G, L = 3, 8
+        probs, caches = _groups(quadrotor, G, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=21)
+        s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True,
+                     adaptive_rho=True, adaptive_rho_min=2.0,
+                     adaptive_rho_max=20.0)
+        gs = GroupedBatchSolver(probs, caches, s)
+        rng = np.random.default_rng(22)
+        x0s = rng.uniform(-0.25, 0.25, size=(G, L, 12))
+
+        xs_f, us_f, it_f, sv_f = gs.solve_batch(x0s, method="fused")
+        f32 = jnp.float32
+        probs32 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32)
+                                         if jnp.issubdtype(a.dtype,
+                                                           jnp.floating)
+                                         else a, probs)
+        caches32 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32),
+                                          caches)
+        xs_c, us_c, it_c, sv_c = solve_condensed_adaptive_grouped(
+            probs32, caches32, s, jnp.asarray(x0s, f32))
+        np.testing.assert_array_equal(it_c, it_f)
+        np.testing.assert_array_equal(sv_c, sv_f)
+        np.testing.assert_allclose(us_c, us_f, atol=5e-4)
+        assert sv_f.sum() > 0
+        # rho must actually diverge per-lane for this test to bite
+        # (the OSQP controller decays rho on this workload)
+
+    def test_grouped_adaptive_pipeline_matches_xla_two_phase(self):
+        """Grouped adaptive two-phase pipeline vs the XLA grouped adaptive
+        path doing the identical two-phase (warm continuation restarts the
+        iteration counter — the established adaptive warm contract,
+        test_pallas_fused.test_adaptive_fused_warm_continuation_matches_xla):
+        phase-1-converged lanes keep phase-1 results; straggler lanes equal
+        the XLA warm continuation per lane."""
+        from tinympc_julia_tpu.ops.condensed import (
+            build_condensed_taylor, solve_condensed_adaptive_grouped)
+        G, L = 2, 8
+        probs, caches = _groups(quadrotor, G, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=23)
+        rng = np.random.default_rng(24)
+        x0s = rng.uniform(-0.3, 0.3, size=(G, L, 12))
+        kw = dict(en_state_bound=False, en_input_bound=True,
+                  adaptive_rho=True, adaptive_rho_min=2.0,
+                  adaptive_rho_max=20.0)
+        gs = GroupedBatchSolver(probs, caches, Settings(max_iter=50, **kw))
+        xs_p, us_p, it_p, sv_p = gs.solve_batch(
+            x0s, method="fused", pipeline=(50, 8, 100))
+
+        f32 = jnp.float32
+        probs32 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32)
+                                         if jnp.issubdtype(a.dtype,
+                                                           jnp.floating)
+                                         else a, probs)
+        caches32 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, f32),
+                                          caches)
+        tmaps = build_condensed_taylor(probs32, caches32)
+        x32 = jnp.asarray(x0s, f32)
+        s1 = Settings(max_iter=50, **kw)
+        s2 = Settings(max_iter=100, **kw)
+        _, us1, it1, sv1, carry = solve_condensed_adaptive_grouped(
+            probs32, caches32, s1, x32, tmaps, return_carry=True)
+        _, us2, it2, sv2 = solve_condensed_adaptive_grouped(
+            probs32, caches32, s2, x32, tmaps, warm=carry)
+        sv1, it1, it2, sv2 = (np.asarray(a) for a in (sv1, it1, it2, sv2))
+        assert (sv1 == 0).any(), "need phase-1 stragglers"
+        # phase-1-converged lanes: identical verdicts
+        np.testing.assert_array_equal(it_p[sv1 == 1], it1[sv1 == 1])
+        np.testing.assert_allclose(us_p[sv1 == 1], np.asarray(us1)[sv1 == 1],
+                                   atol=5e-4)
+        # straggler lanes: equal to the XLA warm continuation per lane
+        m = sv1 == 0
+        np.testing.assert_array_equal(sv_p[m], sv2[m])
+        np.testing.assert_array_equal(it_p[m] - 50, it2[m])
+        np.testing.assert_allclose(us_p[m], np.asarray(us2)[m], atol=5e-4)
+
+    def test_per_group_cone_data_rides_fused(self):
+        """VERDICT r3 item 3(b): per-group SOC mus (the randomized
+        rocket-landing sweep, reference semantics
+        rocket_landing_constraints.jl:52-58) run ON the fused kernel and
+        match the grouped condensed path per lane."""
         from tinympc_julia_tpu import ConeSet
         from tinympc_julia_tpu.models import rocket
-        G = 2
+        G = 3
         probs, caches = [], []
         for g in range(G):
-            mu = 0.25 + 0.1 * g
+            mu = 0.2 + 0.1 * g
             p = make_problem(
                 jnp.asarray(rocket.A), jnp.asarray(rocket.B),
                 jnp.asarray(np.diag(rocket.Q_DIAG)),
@@ -108,14 +192,55 @@ class TestGroupedFused:
             caches.append(c)
         gs = GroupedBatchSolver(stack_instances(probs),
                                 stack_instances(caches),
-                                Settings(max_iter=50, en_input_soc=True,
+                                Settings(max_iter=60, en_input_soc=True,
                                          en_state_bound=False))
-        x0s = np.tile(np.asarray(rocket.X_INIT), (G, 8, 1))
-        with pytest.raises(ValueError, match="condensed"):
-            gs.solve_batch(x0s, method="fused")
-        # and the condensed path actually handles it
-        xs, us, iters, solved = gs.solve_batch(x0s, method="condensed")
-        assert xs.shape == (G, 8, 10, 6)
+        rng = np.random.default_rng(30)
+        x0s = (np.asarray(rocket.X_INIT)[None, None]
+               * rng.uniform(0.9, 1.1, size=(G, 8, 1)))
+        xs_f, us_f, it_f, sv_f = gs.solve_batch(x0s, method="fused")
+        xs_c, us_c, it_c, sv_c = gs.solve_batch(x0s, method="condensed")
+        np.testing.assert_array_equal(it_c, it_f)
+        np.testing.assert_array_equal(sv_c, sv_f)
+        np.testing.assert_allclose(us_c, us_f, atol=1e-3)
+        # the cone data must genuinely differ per group: final thrust
+        # vectors respect each group's own cone angle
+        for g in range(G):
+            mu = 0.2 + 0.1 * g
+            v = us_f[g, :, :, :2]
+            t = us_f[g, :, :, 2]
+            assert np.all(np.linalg.norm(v, axis=-1) <= mu * t + 2e-2)
+
+    def test_per_group_halfspace_data_rides_fused(self):
+        """Per-group linear halfspace rows on the fused kernel (per-group
+        selector matrices along the group grid) vs grouped condensed."""
+        G, L = 2, 8
+        rng = np.random.default_rng(31)
+        probs, caches = [], []
+        for g in range(G):
+            p = make_problem(
+                jnp.asarray(cartpole.A), jnp.asarray(cartpole.B),
+                jnp.asarray(np.diag(cartpole.Q_DIAG)),
+                jnp.asarray(np.diag(cartpole.R_DIAG)), 1.0, 20,
+                u_min=-5.0, u_max=5.0,
+                Alin_u=jnp.asarray([[1.0]]),
+                blin_u=jnp.asarray([2.0 + 1.5 * g]))
+            c = precompute_cache(p.A, p.B, p.Q, p.R,
+                                 jnp.asarray(1.0, p.A.dtype))
+            probs.append(p)
+            caches.append(c)
+        gs = GroupedBatchSolver(stack_instances(probs),
+                                stack_instances(caches),
+                                Settings(max_iter=100, en_input_linear=True,
+                                         en_state_bound=False))
+        x0s = rng.uniform(-0.6, 0.6, size=(G, L, 4))
+        xs_f, us_f, it_f, sv_f = gs.solve_batch(x0s, method="fused")
+        xs_c, us_c, it_c, sv_c = gs.solve_batch(x0s, method="condensed")
+        np.testing.assert_array_equal(it_c, it_f)
+        np.testing.assert_array_equal(sv_c, sv_f)
+        np.testing.assert_allclose(us_c, us_f, atol=2e-4)
+        # each group's own bound binds
+        assert np.all(us_f[0] <= 2.0 + 1e-4)
+        assert np.all(us_f[1] <= 3.5 + 1e-4)
 
 
 class TestGroupedPipeline:

@@ -162,37 +162,29 @@ class GroupedBatchSolver:
         return tuple(np.asarray(o) for o in out)
 
     def _fused_constraint_spec(self):
-        """Shared-across-groups constraint data for the fused kernel (selector
-        matrices are baked host-side)."""
+        """Constraint data for the fused kernel.  STRUCTURE (cone
+        starts/dims, halfspace row counts) is shared across groups by
+        construction (static ConeSet metadata); DATA — cone mus, halfspace
+        a/b rows — may vary per group and rides the kernel's group grid
+        (condensed_kernel.py stacks per-row selector matrices along G and
+        passes mu/b as group-indexed inputs)."""
         s = self.settings
         p = self.problems
-        G = self.num_groups
-
-        def shared_rows(a, what):
-            a = np.asarray(a)
-            if a.ndim >= 1 and a.shape[0] == G:
-                if not (a == a[:1]).all():
-                    raise ValueError(
-                        f"fused grouped path needs {what} shared across "
-                        "groups; use method='condensed'")
-                a = a[0]
-            return a
 
         soc_u = soc_x = ()
         lin_u = lin_x = None
         if s.en_input_soc or s.en_state_soc:
             def cone_spec(cones):
-                mus = shared_rows(cones.mus, "cone coefficients")
-                return tuple((int(st), int(dm), float(mu)) for st, dm, mu in
-                             zip(cones.starts, cones.dims, mus))
+                mus = np.asarray(cones.mus)  # (G, C) grouped or (C,) shared
+                return tuple((int(st), int(dm), mus[..., k])
+                             for k, (st, dm) in enumerate(
+                                 zip(cones.starts, cones.dims)))
             soc_u = cone_spec(p.cones_u) if s.en_input_soc else ()
             soc_x = cone_spec(p.cones_x) if s.en_state_soc else ()
         if s.en_input_linear:
-            lin_u = (shared_rows(p.Alin_u, "Alin_u"),
-                     shared_rows(p.blin_u, "blin_u"))
+            lin_u = (np.asarray(p.Alin_u), np.asarray(p.blin_u))
         if s.en_state_linear:
-            lin_x = (shared_rows(p.Alin_x, "Alin_x"),
-                     shared_rows(p.blin_x, "blin_x"))
+            lin_x = (np.asarray(p.Alin_x), np.asarray(p.blin_x))
         return soc_u, soc_x, lin_u, lin_x
 
     def _fused_kernel(self, Bt, max_iter, **extra):
@@ -222,11 +214,48 @@ class GroupedBatchSolver:
             self._fused_solvers[key] = fn
         return fn
 
+    def _adaptive_fused_kernel(self, Bt, max_iter, **extra):
+        """Build (and cache) one grouped ADAPTIVE fused kernel config (the
+        per-lane-rho Taylor kernel with a group grid,
+        ops/pallas/adaptive_kernel.py).  Box constraints only."""
+        s = self.settings
+        from ..ops import condensed as cnd
+        from ..ops.pallas.adaptive_kernel import (
+            make_condensed_adaptive_fused_solver)
+        from ..types import settings_bake_key
+        if (s.en_state_soc or s.en_input_soc or s.en_state_linear
+                or s.en_input_linear):
+            raise ValueError("grouped fused adaptive-rho supports box "
+                             "constraints only; use method='condensed'")
+        if self._taylor_maps is None:
+            self._taylor_maps = cnd.build_condensed_taylor(self.problems,
+                                                           self.caches)
+        interpret = jax.default_backend() != "tpu"
+        key = ("adaptive", settings_bake_key(s), Bt, max_iter, interpret,
+               tuple(sorted(extra.items())))
+        fn = self._fused_solvers.get(key)
+        if fn is None:
+            fn = make_condensed_adaptive_fused_solver(
+                np.asarray(self.problems.A), np.asarray(self.problems.B),
+                np.asarray(self.problems.Q), np.asarray(self.problems.R),
+                np.asarray(self.caches.Pinf),
+                np.asarray(self.caches.dPinf_drho),
+                self.N, batch_tile=Bt, max_iter=max_iter,
+                abs_pri_tol=float(s.abs_pri_tol),
+                abs_dua_tol=float(s.abs_dua_tol),
+                en_state_bound=s.en_state_bound,
+                en_input_bound=s.en_input_bound,
+                relaxation_alpha=s.relaxation_alpha,
+                adaptive_rho_min=float(s.adaptive_rho_min),
+                adaptive_rho_max=float(s.adaptive_rho_max),
+                adaptive_rho_clipping=s.adaptive_rho_enable_clipping,
+                check_termination=s.check_termination,
+                num_groups=self.num_groups, interpret=interpret, **extra)
+            self._fused_solvers[key] = fn
+        return fn
+
     def _check_fused_settings(self):
         s = self.settings
-        if s.adaptive_rho:
-            raise ValueError("grouped fused adaptive-rho is not available; "
-                             "use method='condensed' (grouped Taylor maps)")
         ct = s.check_termination
         if ct < 1 or s.max_iter % ct != 0:
             raise ValueError(
@@ -242,9 +271,9 @@ class GroupedBatchSolver:
 
     def _solve_fused(self, x0s):
         """The Pallas grouped kernel: per-group T12 blocks over a (G, tiles)
-        grid.  Box bounds may vary per group; SOC/linear constraint DATA must
-        be shared across groups on this path (selector matrices are baked) —
-        per-group constraint data rides method='condensed'."""
+        grid.  Box bounds / SOC mus / halfspace rows may vary per group;
+        with adaptive_rho the grouped ADAPTIVE kernel runs per-lane rho on
+        per-group Taylor maps (box constraints only)."""
         s = self.settings
         p = self.problems
         G, L = int(x0s.shape[0]), int(x0s.shape[1])
@@ -253,10 +282,16 @@ class GroupedBatchSolver:
         Lp = ((L + Bt - 1) // Bt) * Bt
         x0s_p = x0s if Lp == L else jnp.concatenate(
             [x0s, jnp.zeros((G, Lp - L, self.nx), x0s.dtype)], axis=1)
-        fn = self._fused_kernel(Bt, s.max_iter)
-        xs, us, iters, solved = fn(
-            self._maps, self.caches.rho, p.u_min, p.u_max, p.x_min, p.x_max,
-            x0s_p.astype(jnp.float32))
+        if s.adaptive_rho:
+            fn = self._adaptive_fused_kernel(Bt, s.max_iter)
+            xs, us, iters, solved, _rho = fn(
+                self._taylor_maps, p.u_min, p.u_max, p.x_min, p.x_max,
+                x0s_p.astype(jnp.float32))
+        else:
+            fn = self._fused_kernel(Bt, s.max_iter)
+            xs, us, iters, solved = fn(
+                self._maps, self.caches.rho, p.u_min, p.u_max, p.x_min,
+                p.x_max, x0s_p.astype(jnp.float32))
         xs = xs.reshape(G, Lp, self.N, self.nx)[:, :L]
         us = us.reshape(G, Lp, self.N - 1, self.nu)[:, :L]
         return (xs, us, iters.reshape(G, Lp)[:, :L],
@@ -312,22 +347,36 @@ class GroupedBatchSolver:
         cached = self._pipelines.get(pkey)
         if cached is not None:
             return cached
-        fn1 = self._fused_kernel(Bt, phase1_iters, carry_out=True)
-        fn2 = self._fused_kernel(Bt2, phase2_iters, warm_start=True)
-        maps, rho = self._maps, self.caches.rho
+        adaptive = s.adaptive_rho
+        if adaptive:
+            fn1 = self._adaptive_fused_kernel(Bt, phase1_iters,
+                                              carry_out=True)
+            fn2 = self._adaptive_fused_kernel(Bt2, phase2_iters,
+                                              warm_start=True)
+            tmaps = self._taylor_maps
+        else:
+            fn1 = self._fused_kernel(Bt, phase1_iters, carry_out=True)
+            fn2 = self._fused_kernel(Bt2, phase2_iters, warm_start=True)
+            maps, rho = self._maps, self.caches.rho
         bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
         @jax.jit
         def pipeline(x0s):
             x0s = x0s.astype(jnp.float32)
-            xs1, us1, it1, ok1, carry = fn1(maps, rho, *bounds, x0s)
+            if adaptive:
+                xs1, us1, it1, ok1, _rho1, carry = fn1(tmaps, *bounds, x0s)
+            else:
+                xs1, us1, it1, ok1, carry = fn1(maps, rho, *bounds, x0s)
             unconv = (ok1 == 0).reshape(G, L)
             idx = jax.vmap(
                 lambda m: jnp.nonzero(m, size=L2, fill_value=0)[0])(unconv)
             gidx = (idx + jnp.arange(G)[:, None] * L).reshape(-1)
-            warm = tuple(w[:, gidx] for w in carry)
+            warm = type(carry)(*(w[:, gidx] for w in carry))
             x0s2 = x0s.reshape(G * L, nx)[gidx].reshape(G, L2, nx)
-            xs2, us2, it2, ok2 = fn2(maps, rho, *bounds, x0s2, warm)
+            if adaptive:
+                xs2, us2, it2, ok2, _rho2 = fn2(tmaps, *bounds, x0s2, warm)
+            else:
+                xs2, us2, it2, ok2 = fn2(maps, rho, *bounds, x0s2, warm)
             # slots beyond the group's straggler count are index-0 fill
             # lanes: drop their writes (out-of-range scatter index)
             counts = unconv.sum(axis=1)
