@@ -70,3 +70,100 @@ class TestAssocScans:
                                    s1.get_solution().controls,
                                    rtol=1e-8, atol=1e-8)
         assert int(s1.solution.iter) == int(s2.solution.iter)
+
+
+class TestChunkedScans:
+    """Chunked condensation (build_chunk_maps): the long-horizon fast path —
+    one reusable C-stage chunk map, lax.scan over N/C chunks."""
+
+    def test_forward_matches_sequential(self):
+        for model, C in ((cartpole, 4), (quadrotor, 5)):
+            p, c, st = _setup(model, N=21)
+            cm = scans.build_chunk_maps(p, c, C)
+            seq = admm.forward_pass(st, p, c)
+            chk = scans.forward_pass_chunked(st, p, c, cm)
+            np.testing.assert_allclose(np.asarray(chk.x), np.asarray(seq.x),
+                                       rtol=1e-10, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(chk.u), np.asarray(seq.u),
+                                       rtol=1e-10, atol=1e-10)
+
+    def test_backward_matches_sequential(self):
+        for model, C in ((cartpole, 4), (quadrotor, 5)):
+            p, c, st = _setup(model, N=21)
+            cm = scans.build_chunk_maps(p, c, C)
+            seq = admm.backward_pass(st, p, c)
+            chk = scans.backward_pass_chunked(st, p, c, cm)
+            np.testing.assert_allclose(np.asarray(chk.p), np.asarray(seq.p),
+                                       rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(chk.d), np.asarray(seq.d),
+                                       rtol=1e-9, atol=1e-10)
+
+    def test_affine_term_rides_chunk_map(self):
+        """The affine dynamics term f enters T1c's constant column."""
+        from tinympc_julia_tpu.models import rocket
+        p, c, st = _setup(rocket, N=11)
+        p = p.replace(f=jnp.asarray(np.asarray(rocket.F), p.A.dtype))
+        cm = scans.build_chunk_maps(p, c, 5)
+        seq = admm.forward_pass(st, p, c)
+        chk = scans.forward_pass_chunked(st, p, c, cm)
+        np.testing.assert_allclose(np.asarray(chk.x), np.asarray(seq.x),
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_full_batched_solve_matches_sequential(self):
+        """End-to-end batched solve with chunk_maps == the sequential path
+        (same iteration counts; iterates at reassociation level)."""
+        from tinympc_julia_tpu.parallel import batch as batch_mod
+        from tinympc_julia_tpu import Settings, init_state
+        rng = np.random.default_rng(7)
+        p, c, _ = _setup(cartpole, N=65)
+        cm = scans.build_chunk_maps(p, c, 16)
+        B = 8
+        x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)))
+        st = batch_mod.set_x0_batch(
+            batch_mod.broadcast_state(init_state(4, 1, 65, p.A.dtype), B),
+            x0s)
+        s = Settings(max_iter=100, en_state_bound=False, en_input_bound=True)
+        p2 = p.replace(u_min=jnp.full_like(p.u_min, -5.0),
+                       u_max=jnp.full_like(p.u_max, 5.0))
+        _, _, sol_seq = batch_mod.solve_batch(p2, c, s, st)
+        _, _, sol_chk = batch_mod.solve_batch(p2, c, s, st, chunk_maps=cm)
+        np.testing.assert_array_equal(np.asarray(sol_seq.iter),
+                                      np.asarray(sol_chk.iter))
+        np.testing.assert_array_equal(np.asarray(sol_seq.solved),
+                                      np.asarray(sol_chk.solved))
+        np.testing.assert_allclose(np.asarray(sol_chk.u),
+                                   np.asarray(sol_seq.u),
+                                   rtol=1e-7, atol=1e-9)
+        assert int(np.asarray(sol_seq.solved).sum()) > 0
+
+    def test_auto_chunk_size(self):
+        from tinympc_julia_tpu.ops.condensed import auto_chunk_size
+        C = auto_chunk_size(4, 1, 2049)   # N-1 = 2048
+        assert C is not None and (2049 - 1) % C == 0
+        assert 64 <= C <= 256
+        # prime N-1 leaves no divisor
+        assert auto_chunk_size(4, 1, 2048) in (None, 89)  # 2047 = 23*89
+
+    def test_api_auto_dispatches_chunked(self):
+        """Long horizon beyond the condensed budget: method='auto' routes to
+        the chunked path and solves."""
+        from tinympc_julia_tpu import TinyMPCSolver
+        from tinympc_julia_tpu.ops.condensed import (auto_chunk_size,
+                                                     auto_uses_condensed)
+        N = 1537   # N-1 = 1536 = 2^9 * 3; condensed footprint > 256 MB
+        assert not auto_uses_condensed(4, 1, N)
+        assert auto_chunk_size(4, 1, N) is not None
+        s = TinyMPCSolver(dtype=jnp.float32)
+        s.setup(np.asarray(cartpole.A), np.asarray(cartpole.B), None,
+                np.diag(cartpole.Q_DIAG), np.diag(cartpole.R_DIAG), 1.0,
+                4, 1, N, max_iter=25)
+        rng = np.random.default_rng(8)
+        xs, us, iters, solved = s.solve_batch(
+            rng.uniform(-0.2, 0.2, size=(4, 4)), method="auto")
+        assert xs.shape == (4, N, 4)
+        assert np.all(np.isfinite(us))
+        # the explicit chunked method takes the same path
+        xs2, us2, it2, sv2 = s.solve_batch(np.asarray(xs[:, 0]),
+                                           method="chunked")
+        np.testing.assert_array_equal(iters, it2)
+        np.testing.assert_array_equal(us, us2)

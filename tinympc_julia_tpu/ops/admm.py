@@ -163,13 +163,18 @@ def _tree_select(pred, on_true, on_false):
 
 
 def make_loop_fns(problem: Problem, settings: Settings, *,
-                  horizon_parallel: bool = False, dtype=None):
+                  horizon_parallel: bool = False, dtype=None,
+                  chunk_maps=None):
     """Build (cond_fn, body_fn) for the ADMM while-loop over the carry
     ``(state, cache, z_prev, v_prev, converged, i)``.
 
     Exposed so the parallel layer can reuse the exact single-instance
     iteration inside custom batched/sharded loops (parallel/batch.py,
     parallel/sharded.py) without duplicating the reference semantics.
+
+    ``chunk_maps`` (ops/scans.ChunkMaps) switches the horizon recursions to
+    the chunked-condensation form — the long-horizon fast path (N/C serial
+    steps of big matmuls; same values up to float reassociation).
     """
     dtype = dtype or problem.A.dtype
     pri_tol = jnp.asarray(settings.abs_pri_tol, dtype)
@@ -183,7 +188,9 @@ def make_loop_fns(problem: Problem, settings: Settings, *,
     def body_fn(carry):
         st, ca, z_prev, v_prev, _, i = carry
 
-        if horizon_parallel:
+        if chunk_maps is not None:
+            st = scans.forward_pass_chunked(st, problem, ca, chunk_maps)
+        elif horizon_parallel:
             st = scans.forward_pass_assoc(st, problem, ca)
         else:
             st = forward_pass(st, problem, ca)
@@ -245,9 +252,13 @@ def make_loop_fns(problem: Problem, settings: Settings, *,
         # backward pass (admm.cpp:195-199).  On the converged iteration the
         # reference returns first — leave v/z/p/d untouched for exact
         # warm-start parity.
-        st_next = backward_pass(
-            st.replace(v=st.vnew, z=st.znew), problem, ca,
-            horizon_parallel=horizon_parallel)
+        st_committed = st.replace(v=st.vnew, z=st.znew)
+        if chunk_maps is not None:
+            st_next = scans.backward_pass_chunked(st_committed, problem, ca,
+                                                  chunk_maps)
+        else:
+            st_next = backward_pass(st_committed, problem, ca,
+                                    horizon_parallel=horizon_parallel)
         st = _tree_select(converged, st, st_next)
 
         return (st, ca, z_prev, v_prev, converged, i + 1)
@@ -275,8 +286,8 @@ def finalize(carry) -> Tuple[State, Cache, Solution]:
 
 
 def solve_impl(problem: Problem, cache: Cache, settings: Settings,
-               state: State, *, horizon_parallel: bool = False
-               ) -> Tuple[State, Cache, Solution]:
+               state: State, *, horizon_parallel: bool = False,
+               chunk_maps=None) -> Tuple[State, Cache, Solution]:
     """Unjitted solve — compose with vmap/shard_map; prefer `solve` directly.
 
     Traced under full float32 matmul precision: the TPU MXU's default
@@ -288,14 +299,15 @@ def solve_impl(problem: Problem, cache: Cache, settings: Settings,
     with jax.default_matmul_precision("highest"):
         cond_fn, body_fn = make_loop_fns(problem, settings,
                                          horizon_parallel=horizon_parallel,
-                                         dtype=state.x.dtype)
+                                         dtype=state.x.dtype,
+                                         chunk_maps=chunk_maps)
         carry = lax.while_loop(cond_fn, body_fn, init_carry(state, cache))
         return finalize(carry)
 
 
 @functools.partial(jax.jit, static_argnames=("horizon_parallel",))
 def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
-          *, horizon_parallel: bool = False
+          *, horizon_parallel: bool = False, chunk_maps=None
           ) -> Tuple[State, Cache, Solution]:
     """One full ADMM solve.  Pure: returns the advanced (state, cache) plus the
     Solution; callers persist state/cache for warm starts (the reference's
@@ -307,4 +319,5 @@ def solve(problem: Problem, cache: Cache, settings: Settings, state: State,
     same compiled program (types.py contract).
     """
     return solve_impl(problem, cache, settings, state,
-                      horizon_parallel=horizon_parallel)
+                      horizon_parallel=horizon_parallel,
+                      chunk_maps=chunk_maps)

@@ -70,6 +70,35 @@ def auto_uses_condensed(nx, nu, N, *, adaptive=False) -> bool:
             <= AUTO_CONDENSED_BUDGET_BYTES)
 
 
+# Beyond the full-condensation budget, "auto" drops to the CHUNKED horizon
+# path (ops/scans.build_chunk_maps): one reusable C-stage chunk map +
+# lax.scan over N/C chunks — O((C(nx+nu))^2) memory.  Budget bounds the
+# chunk map set.
+CHUNK_BUDGET_BYTES = 32 * 2**20
+CHUNK_TARGET = 128  # preferred chunk size (MXU-friendly row counts)
+
+
+def chunk_footprint_bytes(nx, nu, C, *, itemsize=4) -> int:
+    suc = C * nu
+    t1c = (suc + (C + 1) * nx) * (suc + nx + 1)
+    return (t1c + C * nx * nx + (C * nx) ** 2) * itemsize
+
+
+def auto_chunk_size(nx, nu, N):
+    """Pick the chunk size for the chunked horizon path: the divisor of
+    N-1 nearest CHUNK_TARGET whose maps fit CHUNK_BUDGET_BYTES; None when
+    no divisor >= 2 fits (then "auto" falls back to the sequential scan)."""
+    best = None
+    for C in range(2, N):
+        if (N - 1) % C:
+            continue
+        if chunk_footprint_bytes(nx, nu, C) > CHUNK_BUDGET_BYTES:
+            continue
+        if best is None or abs(C - CHUNK_TARGET) < abs(best - CHUNK_TARGET):
+            best = C
+    return best
+
+
 class CondensedMaps(NamedTuple):
     """Precomputed dense iteration maps (see module docstring).
 

@@ -52,7 +52,7 @@ def solve_batch_impl(problem: Problem, cache: Cache, settings: Settings,
                      state: State, *, horizon_parallel: bool = False,
                      problem_batched: bool = False,
                      cache_batched: bool = False,
-                     unconverged_count_fn=None
+                     unconverged_count_fn=None, chunk_maps=None
                      ) -> Tuple[State, Cache, Solution]:
     """Batched ADMM with per-instance freezing and a whole-batch stop.
 
@@ -67,11 +67,13 @@ def solve_batch_impl(problem: Problem, cache: Cache, settings: Settings,
             problem, cache, settings, state,
             horizon_parallel=horizon_parallel,
             problem_batched=problem_batched, cache_batched=cache_batched,
-            unconverged_count_fn=unconverged_count_fn)
+            unconverged_count_fn=unconverged_count_fn,
+            chunk_maps=chunk_maps)
 
 
 def _solve_batch_impl(problem, cache, settings, state, *, horizon_parallel,
-                      problem_batched, cache_batched, unconverged_count_fn):
+                      problem_batched, cache_batched, unconverged_count_fn,
+                      chunk_maps=None):
     batch = state.x.shape[0]
     # Per-instance cache is required whenever adaptive-rho runs (rho diverges
     # across instances); promote a shared cache to batched in that case.
@@ -87,7 +89,7 @@ def _solve_batch_impl(problem, cache, settings, state, *, horizon_parallel,
         carry = (st, ca, z_prev, v_prev, converged, i)
         cond_fn_l, body_fn_l = admm.make_loop_fns(
             prob, settings, horizon_parallel=horizon_parallel,
-            dtype=st.x.dtype)
+            dtype=st.x.dtype, chunk_maps=chunk_maps)
         return body_fn_l(carry)
 
     vbody = jax.vmap(body_one, in_axes=(p_ax, c_ax, 0, 0, 0, 0, None))
@@ -132,12 +134,13 @@ def _solve_batch_impl(problem, cache, settings, state, *, horizon_parallel,
     "horizon_parallel", "problem_batched", "cache_batched"))
 def solve_batch(problem: Problem, cache: Cache, settings: Settings,
                 state: State, *, horizon_parallel: bool = False,
-                problem_batched: bool = False, cache_batched: bool = False
-                ) -> Tuple[State, Cache, Solution]:
+                problem_batched: bool = False, cache_batched: bool = False,
+                chunk_maps=None) -> Tuple[State, Cache, Solution]:
     return solve_batch_impl(problem, cache, settings, state,
                             horizon_parallel=horizon_parallel,
                             problem_batched=problem_batched,
-                            cache_batched=cache_batched)
+                            cache_batched=cache_batched,
+                            chunk_maps=chunk_maps)
 
 
 @functools.partial(jax.jit, static_argnames=(
