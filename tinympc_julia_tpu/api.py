@@ -32,6 +32,19 @@ class MPCSolution(NamedTuple):
     controls: np.ndarray  # (nu, N-1)
 
 
+@dataclasses.dataclass
+class BatchWarmCarry:
+    """Opaque warm-start carry returned by ``solve_batch(return_carry=True)``
+    and accepted back as ``warm=``.  Holds the method-specific device-side
+    carry (the batched analog of the reference's persistent workspace,
+    SURVEY.md §5.4); on the condensed/fused paths a warm continuation is an
+    EXACT continuation — two chained calls reproduce one long solve
+    lane-for-lane (pinned in tests/test_api_warm.py)."""
+    method: str
+    batch: int
+    data: object
+
+
 def _default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
@@ -60,6 +73,7 @@ class TinyMPCSolver:
         self._user = {}
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._chunk_maps = None
         self._fused_solvers = {}
 
     # -- setup --------------------------------------------------------------
@@ -121,6 +135,7 @@ class TinyMPCSolver:
         self.solution = None
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._chunk_maps = None
         self._fused_solvers = {}
         self.is_setup = True
         if verbose:
@@ -252,7 +267,10 @@ class TinyMPCSolver:
             en_state_soc=bool, en_input_soc=bool, en_state_linear=bool,
             en_input_linear=bool, adaptive_rho=bool, adaptive_rho_min=float,
             adaptive_rho_max=float, adaptive_rho_enable_clipping=bool,
-            relaxation_alpha=float,  # framework extension (Settings docstring)
+            # framework extensions (Settings docstring / ops/rho.py)
+            relaxation_alpha=float,
+            adaptive_rho_rebuild=bool,
+            adaptive_rho_controller=str,
         )
         kwargs.pop("verbose", None)
         # Julia alias used in `setup`
@@ -278,6 +296,7 @@ class TinyMPCSolver:
             AmBKt=jnp.asarray(np.asarray(AmBKt, float), dt))
         self._condensed_maps = None
         self._condensed_taylor_maps = None
+        self._chunk_maps = None
         self._fused_solvers = {}
         return 0
 
@@ -305,7 +324,8 @@ class TinyMPCSolver:
         return MPCSolution(states=np.asarray(self.solution.x).T,
                            controls=np.asarray(self.solution.u).T)
 
-    def solve_batch(self, x0s, *, method: str = "auto", verbose=False):
+    def solve_batch(self, x0s, *, method: str = "auto", warm=None,
+                    return_carry: bool = False, verbose=False):
         """Batched fresh solves over per-instance initial states.
 
         x0s: (B, nx).  ``method``:
@@ -313,29 +333,58 @@ class TinyMPCSolver:
             warm-startable; parallel/batch.py)
           * "condensed" — condensed-iteration fast path (ops/condensed.py)
           * "fused"     — the VMEM-resident Pallas kernel (ops/pallas;
-            float32, fixed rho, full box/linear/SOC constraint stack;
-            fastest on TPU — the batch is padded to the kernel tile)
+            float32, full box/linear/SOC constraint stack, per-lane
+            adaptive-rho; fastest on TPU — the batch is padded to the
+            kernel tile)
           * "auto"      — condensed while the O((N(nx+nu))^2) maps fit the
             memory budget (ops/condensed.AUTO_CONDENSED_BUDGET_BYTES);
             beyond that, the sequential-scan path.  Measured (DESIGN.md §3):
             the condensed solve wins at every horizon up to N=1024 on a v5e
             chip, so the budget — not a perf crossover — is the bound.
 
+        Warm starts: pass ``return_carry=True`` to additionally receive an
+        opaque ``BatchWarmCarry``, and pass it back as ``warm=`` (same
+        method, same batch size) to continue.  On the condensed/fused paths
+        this is an EXACT continuation — two chained calls equal one long
+        solve lane-for-lane; on the standard path it is the reference's
+        persistent-workspace semantics (each call restarts the ADMM loop
+        from the carried iterates, SURVEY.md §5.4,
+        examples/cartpole_example_mpc.jl:35-51).
+
         Returns (states (B, N, nx), controls (B, N-1, nu), iters (B,),
-        solved (B,)) as numpy arrays.  Unlike `solve`, this does not persist
-        workspaces (fresh throughput solves).
+        solved (B,)) as numpy arrays, plus the carry when
+        ``return_carry=True``.
         """
         self._require_setup()
         import jax.numpy as jnp
         x0s = jnp.asarray(np.asarray(x0s, float), self.dtype)
-        if method == "fused":
-            return self._solve_batch_fused(x0s)
+        B = int(x0s.shape[0])
         if method == "auto":
-            from .ops.condensed import auto_uses_condensed
+            from .ops.condensed import auto_chunk_size, auto_uses_condensed
             p = self.problem
-            method = ("condensed" if auto_uses_condensed(
-                p.nx, p.nu, p.N, adaptive=self.settings.adaptive_rho)
-                else "standard")
+            if auto_uses_condensed(p.nx, p.nu, p.N,
+                                   adaptive=self.settings.adaptive_rho):
+                method = "condensed"
+            elif auto_chunk_size(p.nx, p.nu, p.N) is not None:
+                # beyond the full-condensation budget: chunked horizon
+                # recursions on the standard loop (measured to beat the
+                # sequential scan at long N — DESIGN.md §3)
+                method = "chunked"
+            else:
+                method = "standard"
+        if warm is not None:
+            if not isinstance(warm, BatchWarmCarry):
+                raise TypeError("warm must be a BatchWarmCarry from a "
+                                "previous solve_batch(return_carry=True)")
+            if warm.method != method:
+                raise ValueError(f"warm carry is for method={warm.method!r};"
+                                 f" this solve resolved to {method!r}")
+            if warm.batch != B:
+                raise ValueError(f"warm carry holds {warm.batch} lanes, "
+                                 f"x0s has {B}")
+        if method == "fused":
+            return self._solve_batch_fused(x0s, warm=warm,
+                                           return_carry=return_carry)
         if method == "condensed":
             if self.settings.adaptive_rho:
                 # adaptive-rho rides the Taylor-expanded condensed maps
@@ -344,39 +393,69 @@ class TinyMPCSolver:
                 if self._condensed_taylor_maps is None:
                     self._condensed_taylor_maps = build_condensed_taylor(
                         self.problem, self.cache)
-                xs, us, iters, solved = solve_condensed_adaptive(
+                out = solve_condensed_adaptive(
                     self.problem, self.cache, self.settings, x0s,
-                    self._condensed_taylor_maps)
+                    self._condensed_taylor_maps,
+                    warm=None if warm is None else warm.data,
+                    return_carry=True)
             else:
                 from .ops.condensed import build_condensed, solve_condensed
                 if self._condensed_maps is None:
                     self._condensed_maps = build_condensed(self.problem,
                                                            self.cache)
-                xs, us, iters, solved = solve_condensed(
+                out = solve_condensed(
                     self.problem, self.cache, self.settings, x0s,
-                    self._condensed_maps)
-        elif method == "standard":
+                    self._condensed_maps,
+                    warm=None if warm is None else warm.data,
+                    return_carry=True)
+            xs, us, iters, solved, carry = out
+        elif method in ("standard", "chunked"):
             from . import types as TT
             from .parallel import batch as batch_mod
-            B = x0s.shape[0]
-            st = batch_mod.set_x0_batch(
-                batch_mod.broadcast_state(
-                    TT.init_state(self.problem.nx, self.problem.nu,
-                                  self.problem.N, self.dtype), B), x0s)
-            _, _, sol = batch_mod.solve_batch(self.problem, self.cache,
-                                              self.settings, st)
+            cm = self._get_chunk_maps() if method == "chunked" else None
+            if warm is not None:
+                st = batch_mod.set_x0_batch(warm.data, x0s)
+            else:
+                st = batch_mod.set_x0_batch(
+                    batch_mod.broadcast_state(
+                        TT.init_state(self.problem.nx, self.problem.nu,
+                                      self.problem.N, self.dtype), B), x0s)
+            st_out, _, sol = batch_mod.solve_batch(self.problem, self.cache,
+                                                   self.settings, st,
+                                                   chunk_maps=cm)
             xs, us, iters, solved = sol.x, sol.u, sol.iter, sol.solved
+            carry = st_out
         else:
             raise ValueError(f"unknown method: {method}")
-        return (np.asarray(xs), np.asarray(us), np.asarray(iters),
-                np.asarray(solved))
+        res = (np.asarray(xs), np.asarray(us), np.asarray(iters),
+               np.asarray(solved))
+        if return_carry:
+            return res + (BatchWarmCarry(method=method, batch=B, data=carry),)
+        return res
 
-    def _solve_batch_fused(self, x0s):
+    def _get_chunk_maps(self):
+        """Build (and cache) the chunked-horizon maps
+        (ops/scans.build_chunk_maps) at the auto-selected chunk size."""
+        if self._chunk_maps is None:
+            from .ops.condensed import auto_chunk_size
+            from .ops.scans import build_chunk_maps
+            p = self.problem
+            C = auto_chunk_size(p.nx, p.nu, p.N)
+            if C is None:
+                raise ValueError(
+                    f"no chunk size >= 2 divides N-1 = {p.N - 1} within the "
+                    "chunk-map budget; use method='standard'")
+            self._chunk_maps = build_chunk_maps(p, self.cache, C)
+        return self._chunk_maps
+
+    def _solve_batch_fused(self, x0s, *, warm=None, return_carry=False):
         """solve_batch(method="fused"): the VMEM-resident Pallas kernels.
 
         Pads the batch up to the kernel tile and slices results back;
-        compiled solvers are cached per (settings, tile) and invalidated with
-        the condensed maps."""
+        compiled solvers are cached per (settings, tile, warm/carry flags)
+        and invalidated with the condensed maps.  The warm carry holds the
+        PADDED kernel-layout arrays (FusedCarry / AdaptiveFusedCarry) — an
+        exact continuation of the previous call."""
         s = self.settings
         p = self.problem
         ct = s.check_termination
@@ -405,8 +484,9 @@ class TinyMPCSolver:
         x0s_p = x0s if Btot == B else jnp.concatenate(
             [x0s, jnp.zeros((Btot - B, p.nx), x0s.dtype)], axis=0)
         interpret = jax.default_backend() != "tpu"
+        warm_start = warm is not None
         from .types import settings_bake_key
-        key = (settings_bake_key(s), Bt, interpret)
+        key = (settings_bake_key(s), Bt, interpret, warm_start, return_carry)
         fn = self._fused_solvers.get(key)
 
         if s.adaptive_rho:
@@ -430,11 +510,16 @@ class TinyMPCSolver:
                     adaptive_rho_min=float(s.adaptive_rho_min),
                     adaptive_rho_max=float(s.adaptive_rho_max),
                     adaptive_rho_clipping=s.adaptive_rho_enable_clipping,
+                    warm_start=warm_start, carry_out=return_carry,
                     interpret=interpret)
                 self._fused_solvers[key] = fn
-            xs, us, iters, solved, _rho = fn(
-                self._condensed_taylor_maps, p.u_min, p.u_max, p.x_min,
-                p.x_max, x0s_p)
+            a = (self._condensed_taylor_maps, p.u_min, p.u_max, p.x_min,
+                 p.x_max, x0s_p)
+            if warm_start:
+                a = a + (warm.data,)
+            out = fn(*a)
+            xs, us, iters, solved, _rho = out[:5]
+            carry = out[5] if return_carry else None
         else:
             from .ops.condensed import build_condensed
             from .ops.pallas.condensed_kernel import (
@@ -462,13 +547,22 @@ class TinyMPCSolver:
                            if s.en_input_linear else None),
                     lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
                            if s.en_state_linear else None),
+                    warm_start=warm_start, carry_out=return_carry,
                     interpret=interpret)
                 self._fused_solvers[key] = fn
-            xs, us, iters, solved = fn(
-                self._condensed_maps, self.cache.rho, p.u_min, p.u_max,
-                p.x_min, p.x_max, x0s_p)
-        return (np.asarray(xs)[:B], np.asarray(us)[:B],
-                np.asarray(iters)[:B], np.asarray(solved)[:B])
+            a = (self._condensed_maps, self.cache.rho, p.u_min, p.u_max,
+                 p.x_min, p.x_max, x0s_p)
+            if warm_start:
+                a = a + (warm.data,)
+            out = fn(*a)
+            xs, us, iters, solved = out[:4]
+            carry = out[4] if return_carry else None
+        res = (np.asarray(xs)[:B], np.asarray(us)[:B],
+               np.asarray(iters)[:B], np.asarray(solved)[:B])
+        if return_carry:
+            return res + (BatchWarmCarry(method="fused", batch=B,
+                                         data=carry),)
+        return res
 
     # -- sensitivity ---------------------------------------------------------
 
