@@ -374,6 +374,74 @@ def bench_rocket(reps):
                 convergence=round(n_conv / B, 4), batch=B)
 
 
+def bench_rocket_sweep(reps):
+    """Randomized rocket-landing sweep with PER-GROUP cone angles (VERDICT
+    r3 item 3b): G distinct thrust/glide cone coefficients
+    (rocket_landing_constraints.jl:52-58 semantics) x L lanes on the
+    grouped fused kernel — per-group SOC data rides the group grid."""
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import (ConeSet, Settings, make_problem,
+                                   precompute_cache)
+    from tinympc_julia_tpu.models import rocket
+    from tinympc_julia_tpu.parallel.grouped import (GroupedBatchSolver,
+                                                    stack_instances)
+
+    dtype = jnp.float32
+    N = rocket.HORIZON
+    G = 4 if QUICK else 16
+    L = 512 if QUICK else 2048
+    rng = np.random.default_rng(6)
+    xb = rocket.bounds()
+    probs, caches = [], []
+    for g in range(G):
+        mu_u = float(rng.uniform(0.15, 0.35))
+        mu_x = float(rng.uniform(0.4, 0.6))
+        p = make_problem(
+            jnp.asarray(rocket.A, dtype), jnp.asarray(rocket.B, dtype),
+            jnp.asarray(np.diag(rocket.Q_DIAG), dtype),
+            jnp.asarray(np.diag(rocket.R_DIAG), dtype), rocket.RHO, N,
+            f=jnp.asarray(rocket.F, dtype),
+            x_min=jnp.asarray(xb[0].T, dtype),
+            x_max=jnp.asarray(xb[1].T, dtype),
+            u_min=-10.0, u_max=105.0,
+            cones_u=ConeSet(mus=jnp.asarray([mu_u], dtype), starts=(0,),
+                            dims=(3,)),
+            cones_x=ConeSet(mus=jnp.asarray([mu_x], dtype), starts=(0,),
+                            dims=(3,)))
+        Xref, Uref = rocket.reference_trajectory(0)
+        p = p.replace(Xref=jnp.asarray(Xref.T, dtype),
+                      Uref=jnp.asarray(Uref.T, dtype))
+        c = precompute_cache(p.A, p.B, p.Q, p.R,
+                             jnp.asarray(rocket.RHO, dtype))
+        probs.append(p)
+        caches.append(c)
+    gs = GroupedBatchSolver(
+        stack_instances(probs), stack_instances(caches),
+        Settings(max_iter=100, abs_pri_tol=2e-3, abs_dua_tol=1e-3,
+                 en_state_bound=True, en_input_bound=True,
+                 en_input_soc=True, en_state_soc=True))
+    x0s = jnp.asarray(
+        rocket.X_INIT[None, None, :] * rng.uniform(0.9, 1.1, size=(G, L, 1)),
+        dtype)
+    pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
+                                  phase2_iters=400, lanes=L)
+
+    def run():
+        return pipe(x0s)
+
+    _, _, iters, solved = (np.asarray(o) for o in run())
+    n_conv = int(solved.sum())
+    total_iters = float(iters[solved == 1].sum())
+    t = _median_time(run, reps, sync=lambda o: o[3])
+    log(f"rocket per-group-cones sweep: G={G} cone configs x L={L} lanes, "
+        f"{n_conv}/{G * L} converged ({100.0 * n_conv / (G * L):.2f}%), "
+        f"median {t * 1e3:.1f} ms -> {n_conv / t:.0f} solves/s")
+    return dict(solves_per_sec=round(n_conv / t, 1),
+                iters_per_sec=round(total_iters / t, 1),
+                convergence=round(n_conv / (G * L), 4), groups=G, lanes=L)
+
+
 def bench_mpc_loop(reps):
     """Closed-loop MPC steps/s: the all-Pallas fused loop (warm-carry
     chained), cartpole plant (BASELINE config 2;
@@ -492,6 +560,7 @@ def main():
         extra["quadrotor_adaptive"] = bench_quadrotor_adaptive(reps_extra)
         extra["misset_rho_adaptive"] = bench_misset_rho(reps_extra)
         extra["rocket_soc"] = bench_rocket(reps_extra)
+        extra["rocket_pergroup_cone_sweep"] = bench_rocket_sweep(reps_extra)
         extra["mpc_loop_fused"] = bench_mpc_loop(reps_extra)
         extra["randomized_quadrotor_sweep"] = bench_randomized_sweep(
             reps_extra)

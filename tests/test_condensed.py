@@ -204,9 +204,10 @@ def test_t2_dual_blocks_are_exact_negations():
 
 
 class TestAutoDispatch:
-    """method='auto' policy: condensed while the maps fit the budget,
-    sequential-scan path beyond (measured: no solve-rate crossover on TPU,
-    DESIGN.md §3)."""
+    """method='auto' policy: condensed while the maps fit the budget, then
+    chunked condensation (ops/scans.build_chunk_maps), then the sequential
+    scan (measured: no solve-rate crossover on TPU within the budget;
+    chunked wins 2.5-3x beyond it — DESIGN.md §3)."""
 
     def test_auto_uses_condensed_at_n100(self):
         from tinympc_julia_tpu.ops.condensed import auto_uses_condensed
@@ -243,7 +244,8 @@ class TestAutoDispatch:
         monkeypatch.setattr(cnd, "AUTO_CONDENSED_BUDGET_BYTES", 1)
         s2 = mk()
         xs2, us2, it2, ok2 = s2.solve_batch(x0s, method="auto")
-        assert s2._condensed_maps is None     # standard path taken
+        assert s2._condensed_maps is None     # chunked path taken instead
+        assert s2._chunk_maps is not None
         # both paths agree (f64 exact-parity contract)
         np.testing.assert_array_equal(it, it2)
         np.testing.assert_allclose(us, us2, atol=1e-9)

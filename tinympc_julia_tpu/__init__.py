@@ -30,13 +30,13 @@ from .ops.riccati import (  # noqa: F401
     precompute_cache,
     solve_lqr,
 )
-from .api import TinyMPCSolver  # noqa: F401
+from .api import BatchWarmCarry, TinyMPCSolver  # noqa: F401
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Cache", "ConeSet", "Problem", "Settings", "Solution", "State",
-    "TinyMPCSolver", "default_settings", "init_state", "make_problem",
+    "BatchWarmCarry", "TinyMPCSolver", "default_settings", "init_state", "make_problem",
     "precompute_cache", "solve", "solve_lqr",
     "compute_sensitivity_autograd", "compute_sensitivity_fd",
 ]
