@@ -478,7 +478,10 @@ class TinyMPCSolver:
         B = x0s.shape[0]
         big = (p.nx * p.N + p.nu * (p.N - 1)) > 200
         Bt = 512 if (big or s.adaptive_rho) else 2048
-        while Bt > B and Bt > 8:
+        # Mosaic: lane blocks must be 128-multiples unless the block spans
+        # the array — tile floor 128 on real TPU (batch pads up)
+        floor = 128 if jax.default_backend() == "tpu" else 8
+        while Bt > B and Bt > floor:
             Bt //= 2
         Btot = ((B + Bt - 1) // Bt) * Bt
         x0s_p = x0s if Btot == B else jnp.concatenate(

@@ -265,9 +265,13 @@ class GroupedBatchSolver:
     def _default_tile(self, L):
         sw = self.nx * self.N + self.nu * (self.N - 1)
         Bt = 512 if sw > 200 else 2048
-        while Bt > L and Bt > 8:
+        # Mosaic requires the lane (last) block dimension be a multiple of
+        # 128 unless the block spans the whole array — so on real TPU the
+        # tile floor is 128 (lanes pad up); tiny tiles are interpret-only.
+        floor = 128 if jax.default_backend() == "tpu" else 8
+        while Bt > L and Bt > floor:
             Bt //= 2
-        return Bt
+        return max(Bt, floor) if jax.default_backend() == "tpu" else Bt
 
     def _solve_fused(self, x0s):
         """The Pallas grouped kernel: per-group T12 blocks over a (G, tiles)
