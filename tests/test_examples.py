@@ -52,6 +52,12 @@ def test_quadrotor_hover_codegen(tmp_path):
     assert (out / "src" / "tiny_data.cpp").exists()
 
 
+def test_misset_rho_recovery(capsys):
+    _load("misset_rho_recovery.py").main(B=8)
+    out = capsys.readouterr().out
+    assert "adaptive (rebuild)" in out
+
+
 def test_rocket_landing(capsys):
     _load("rocket_landing.py").main()
     out = capsys.readouterr().out

@@ -167,3 +167,19 @@ class TestChunkedScans:
                                            method="chunked")
         np.testing.assert_array_equal(iters, it2)
         np.testing.assert_array_equal(us, us2)
+
+    def test_api_single_solve_auto_chunked(self):
+        """TinyMPCSolver.solve() automatically rides the chunked recursions
+        at long horizons (beyond the condensed budget)."""
+        from tinympc_julia_tpu import TinyMPCSolver
+        N = 1537
+        s = TinyMPCSolver(dtype=jnp.float32)
+        s.setup(np.asarray(cartpole.A), np.asarray(cartpole.B), None,
+                np.diag(cartpole.Q_DIAG), np.diag(cartpole.R_DIAG), 1.0,
+                4, 1, N, max_iter=20)
+        s.set_x0([0.3, 0.0, 0.05, 0.0])
+        s.solve()
+        assert s._chunk_maps is not None  # chunked path engaged
+        sol = s.get_solution()
+        assert sol.states.shape == (4, N)
+        assert np.all(np.isfinite(sol.controls))

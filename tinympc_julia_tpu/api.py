@@ -305,11 +305,22 @@ class TinyMPCSolver:
     def solve(self, *, verbose=False):
         """Run ADMM to convergence; persists workspace + cache for warm starts
         (the reference's singleton persistence, SURVEY.md §5.4).  Returns 0 on
-        convergence, 1 on max_iter exhaustion (admm.cpp:192,206)."""
+        convergence, 1 on max_iter exhaustion (admm.cpp:192,206).
+
+        Long horizons automatically ride the chunked-condensation
+        recursions (ops/scans.py) when the full condensed maps would bust
+        the memory budget — same iterates up to float reassociation."""
         self._require_setup()
+        cm = None
+        if not self.horizon_parallel and not self.settings.adaptive_rho:
+            from .ops.condensed import auto_chunk_size, auto_uses_condensed
+            p = self.problem
+            if (not auto_uses_condensed(p.nx, p.nu, p.N)
+                    and auto_chunk_size(p.nx, p.nu, p.N) is not None):
+                cm = self._get_chunk_maps()
         self.state, self.cache, self.solution = admm.solve(
             self.problem, self.cache, self.settings, self.state,
-            horizon_parallel=self.horizon_parallel)
+            horizon_parallel=self.horizon_parallel, chunk_maps=cm)
         status = 1 - int(self.solution.solved)
         if verbose:
             print(f"Solve completed with status: {status}")
