@@ -424,8 +424,11 @@ def bench_rocket_sweep(reps):
     x0s = jnp.asarray(
         rocket.X_INIT[None, None, :] * rng.uniform(0.9, 1.1, size=(G, L, 1)),
         dtype)
+    # batch_tile 1024: at 2048 the carry_out phase-1 kernel's stacked
+    # intermediates overflow the ~16 MiB scoped-VMEM stack for this shape
     pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
-                                  phase2_iters=400, lanes=L)
+                                  phase2_iters=400, lanes=L,
+                                  batch_tile=1024)
 
     def run():
         return pipe(x0s)
