@@ -104,10 +104,13 @@ def bench_cartpole(reps):
 
     kw = dict(en_input_bound=True, en_state_bound=False,
               relaxation_alpha=ALPHA, check_termination=4)
-    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=100,
+    # phase-1 budget 76: measured-best at 100% convergence
+    # (tools/sweep_phase_budget.py — 48 overflows the straggler slots,
+    # 100+ wastes bulk iterations on converged lanes; docs/DESIGN.md §5)
+    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=76,
                                       carry_out=True, **kw)
     fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=min(1024, B2s),
-                                      max_iter=300, warm_start=True, **kw)
+                                      max_iter=324, warm_start=True, **kw)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
