@@ -66,7 +66,16 @@ class TestRebuildUpdate:
         double-fold semantics, same cold-start fixed point)."""
         rho0, rho_new = 5.0, 17.0
         p, c = _quad(rho0)
-        rebuilt = rho_mod.rebuild_update(c, p, rho_new)
+        rebuilt = rho_mod.rebuild_update(c, p, rho_new, warm=False)
+        # warm start (the solve-loop default) reaches the same fixed point
+        # within the stopping tolerance
+        warm = rho_mod.rebuild_update(c, p, rho_new, warm=True)
+        np.testing.assert_allclose(np.asarray(warm.Kinf),
+                                   np.asarray(rebuilt.Kinf),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(warm.Pinf),
+                                   np.asarray(rebuilt.Pinf),
+                                   rtol=1e-4, atol=1e-6)
 
         Q_user = p.Q - p.rho_setup
         R_user = p.R - p.rho_setup
@@ -89,7 +98,7 @@ class TestRebuildUpdate:
 
     def test_rebuild_at_setup_rho_reproduces_setup_cache(self):
         p, c = _quad(5.0)
-        rebuilt = rho_mod.rebuild_update(c, p, 5.0)
+        rebuilt = rho_mod.rebuild_update(c, p, 5.0, warm=False)
         for field in ("Kinf", "Pinf", "Quu_inv", "AmBKt"):
             np.testing.assert_allclose(np.asarray(getattr(rebuilt, field)),
                                        np.asarray(getattr(c, field)),

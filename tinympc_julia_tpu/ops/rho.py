@@ -186,7 +186,8 @@ def adapt_rho(state: State, cache: Cache, problem: Problem,
 
 
 def rebuild_update(cache: Cache, problem: Problem, new_rho, *,
-                   max_iter: int = 1000, tol: float = 1e-5) -> Cache:
+                   max_iter: int = 1000, tol: float = 1e-5,
+                   warm: bool = True) -> Cache:
     """EXACT cache update at ``new_rho`` (extension behind
     Settings.adaptive_rho_rebuild; the Taylor path stays reference-exact).
 
@@ -203,9 +204,12 @@ def rebuild_update(cache: Cache, problem: Problem, new_rho, *,
     (docs/DESIGN.md §4).  Sensitivities are left untouched (constants of
     the setup point, like the reference's).
 
-    Cold-starts the fixed point from P = rho*I with the reference's
-    stopping rule so the rebuilt terms match ``precompute_cache`` at
-    ``new_rho`` (pinned in tests/test_rho_rebuild.py)."""
+    ``warm=True`` (the solve-loop default) starts the fixed point from the
+    CURRENT (Kinf, Pinf) — same fixed point and stopping rule, typically a
+    handful of iterations per update instead of hundreds; ``warm=False``
+    cold-starts from P = rho*I exactly like the setup, making the rebuilt
+    terms match ``precompute_cache`` at ``new_rho`` bitwise (both pinned in
+    tests/test_rho_rebuild.py)."""
     from . import riccati
 
     dtype = cache.Kinf.dtype
@@ -216,8 +220,11 @@ def rebuild_update(cache: Cache, problem: Problem, new_rho, *,
     Q1d = problem.Q - problem.rho_setup + new_rho + new_rho
     R1d = problem.R - problem.rho_setup + new_rho + new_rho
     A, B = problem.A, problem.B
+    K0 = cache.Kinf if warm else None
+    P0 = cache.Pinf if warm else None
     Kinf, Pinf = riccati.riccati_fixed_point(A, B, Q1d, R1d, new_rho,
-                                             max_iter=max_iter, tol=tol)
+                                             max_iter=max_iter, tol=tol,
+                                             K0=K0, P0=P0)
     Quu_inv = jnp.linalg.inv(jnp.diag(R1d) + B.T @ Pinf @ B)
     AmBKt = (A - B @ Kinf).T
     return cache.replace(rho=new_rho, Kinf=Kinf, Pinf=Pinf,
@@ -228,7 +235,13 @@ def rebuild_update(cache: Cache, problem: Problem, new_rho, *,
 def adapt_rho_rebuild(state: State, cache: Cache, problem: Problem,
                       settings: Settings) -> Cache:
     """One adaptive-rho step with the exact rebuild: the configured
-    controller driving rebuild_update instead of taylor_update."""
+    controller driving rebuild_update instead of taylor_update.  A
+    prediction that leaves rho unchanged (deadband / clip saturation) skips
+    the fixed point entirely."""
+    import jax.lax as lax
+
     dtype = state.x.dtype
     new_rho = _predicted_rho(state, cache, problem, settings, dtype)
-    return rebuild_update(cache, problem, new_rho)
+    return lax.cond(new_rho != cache.rho,
+                    lambda _: rebuild_update(cache, problem, new_rho),
+                    lambda _: cache, None)

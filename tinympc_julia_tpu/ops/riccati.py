@@ -27,13 +27,17 @@ from ..types import Cache
 
 
 def riccati_fixed_point(A, B, Q1_diag, R1_diag, rho, *, max_iter: int = 1000,
-                        tol: float = 1e-5):
+                        tol: float = 1e-5, K0=None, P0=None):
     """Iterate K = (R1 + B'PB)^-1 B'PA;  P = Q1 + A'P(A - BK)  to convergence.
 
     Mirrors the loop at tiny_api.cpp:146-166 exactly: starts from K=0,
     P = rho*I, computes (Kinf, Pinf) from the previous P, and stops when
     ||Kinf - K_prev||_inf < tol — *without* committing the last (K, P) back to
     the carried previous values on the converged step.
+
+    ``K0``/``P0`` override the start point (the adaptive-rho rebuild warm
+    starts from the current cache — same fixed point and stopping rule, a
+    handful of iterations instead of hundreds; ops/rho.rebuild_update).
 
     Returns (Kinf, Pinf).
     """
@@ -59,8 +63,10 @@ def riccati_fixed_point(A, B, Q1_diag, R1_diag, rho, *, max_iter: int = 1000,
         Ptp1_n = jnp.where(converged, Ptp1, Pinf)
         return (Ktp1_n, Ptp1_n, Kinf, Pinf, i + 1, converged)
 
-    K0 = jnp.zeros((nu, nx), dtype)
-    P0 = rho * jnp.eye(nx, dtype=dtype)
+    if K0 is None:
+        K0 = jnp.zeros((nu, nx), dtype)
+    if P0 is None:
+        P0 = rho * jnp.eye(nx, dtype=dtype)
     carry = (K0, P0, K0, P0, jnp.zeros((), jnp.int32), jnp.asarray(False))
     _, _, Kinf, Pinf, _, _ = lax.while_loop(cond, body, carry)
     return Kinf, Pinf
