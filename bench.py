@@ -431,7 +431,7 @@ def bench_rocket_sweep(reps):
     # intermediates overflow the ~16 MiB scoped-VMEM stack for this shape
     pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
                                   phase2_iters=400, lanes=L,
-                                  batch_tile=1024)
+                                  batch_tile=min(1024, L))
 
     def run():
         return pipe(x0s)

@@ -329,8 +329,12 @@ class GroupedBatchSolver:
         p = self.problems
         G, L, nx = self.num_groups, int(lanes), self.nx
         L2 = int(straggler_slots)
-        self._check_fused_settings()
+        # the pipeline's budgets are phase1/phase2_iters — s.max_iter is
+        # irrelevant here, so validate ct + the phase budgets directly
         ct = s.check_termination
+        if ct < 1:
+            raise ValueError("the fused pipeline needs "
+                             f"check_termination >= 1 (got {ct})")
         for what, iters in (("phase1_iters", phase1_iters),
                             ("phase2_iters", phase2_iters)):
             if iters % ct != 0:
