@@ -56,6 +56,44 @@ def _median_time(run, reps, sync=None):
     return float(np.median([timed(inner) for _ in range(reps)]))
 
 
+def _device_loop_time(fn, x0s, extract, reps, target_s=0.5):
+    """Per-call time of ``fn(x0s)`` measured as k back-to-back solves INSIDE
+    one jitted lax.fori_loop — a single dispatch, immune to the tunnel's
+    per-dispatch latency (measured 10-25 ms, and episodically the client
+    stops pipelining so EVERY eager call pays it; amortization across
+    eager calls is then worthless).  ``extract(out) -> f32 scalar`` keeps
+    each iteration live; a data-dependent (never-taken) rescale of x0s
+    serializes iterations so XLA cannot collapse the loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make_loop(k):
+        @jax.jit
+        def loop(x0s):
+            def body(i, acc):
+                scale = jnp.where(acc < jnp.float32(-1.0), jnp.float32(2.0),
+                                  jnp.float32(1.0))
+                return acc + extract(fn(x0s * scale))
+            return lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return loop
+
+    probe = make_loop(2)
+    np.asarray(probe(x0s))  # compile probe + drain
+    t0 = time.perf_counter()
+    np.asarray(probe(x0s))
+    t2 = time.perf_counter() - t0
+    k = max(4, min(64, int(round(target_s / max(t2 / 2, 1e-3)))))
+    loop = make_loop(k)
+    np.asarray(loop(x0s))  # compile + drain
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(x0s))
+        ts.append((time.perf_counter() - t0) / k)
+    return float(np.median(ts))
+
+
 def straggler_mask(unconv, slots_per_shard, n_dev):
     """Valid-slot mask over the flattened phase-2 outputs.
 
@@ -143,10 +181,7 @@ def bench_cartpole(reps):
     else:
         pipeline = jax.jit(_pipeline)
 
-    def run():
-        return pipeline(x0s)
-
-    it1, ok1, idx, it2, ok2, unconv = run()
+    it1, ok1, idx, it2, ok2, unconv = pipeline(x0s)
     n1 = int(np.sum(np.asarray(ok1)))
     n_straggler = int(np.sum(np.asarray(unconv)))
     mask2 = straggler_mask(unconv, B2s, n_dev)
@@ -154,7 +189,9 @@ def bench_cartpole(reps):
     n_conv = n1 + n2
     total_iters = float(np.sum(np.asarray(it1))
                         + np.sum(np.asarray(it2)[mask2]))
-    t = _median_time(run, reps, sync=lambda o: o[4])
+    t = _device_loop_time(
+        pipeline, x0s,
+        lambda o: (jnp.sum(o[1]) + jnp.sum(o[4])).astype(jnp.float32), reps)
     log(f"cartpole: {n_conv}/{B} converged ({100.0 * n_conv / B:.2f}%), "
         f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s, "
         f"{total_iters / t:.3e} ADMM iters/s")
@@ -220,10 +257,7 @@ def bench_quadrotor_adaptive(reps):
         _, _, it2, ok2, rho2 = fn2(tmaps, *bounds, x0s[idx], warm)
         return it1, ok1, rho1, it2, ok2, rho2, unconv
 
-    def run():
-        return pipeline(x0s)
-
-    it1, ok1, rho1, it2, ok2, rho2, unconv = run()
+    it1, ok1, rho1, it2, ok2, rho2, unconv = pipeline(x0s)
     n1 = int(np.sum(np.asarray(ok1)))
     n_straggler = int(np.sum(np.asarray(unconv)))
     mask2 = np.zeros(np.asarray(it2).size, bool)
@@ -232,7 +266,9 @@ def bench_quadrotor_adaptive(reps):
     n_conv = n1 + n2
     total_iters = float(np.sum(np.asarray(it1))
                         + np.sum(np.asarray(it2)[mask2]))
-    t = _median_time(run, reps, sync=lambda o: o[4])
+    t = _device_loop_time(
+        pipeline, x0s,
+        lambda o: (jnp.sum(o[1]) + jnp.sum(o[4])).astype(jnp.float32), reps)
     rho_all = np.concatenate([np.asarray(rho1)[~np.asarray(unconv)],
                               np.asarray(rho2)[mask2]])
     log(f"quadrotor adaptive-rho: {n_conv}/{B} converged "
@@ -293,7 +329,7 @@ def bench_misset_rho(reps):
         def run():
             return solve_batch(p, c, s, st)
         _, ca, sol = run()
-        t = _median_time(run, reps, sync=lambda o: o[2].iter)
+        t = _median_time(run, reps, sync=lambda o: o[2].iter[:8])
         return (int(np.sum(np.asarray(sol.solved))),
                 float(np.mean(np.asarray(sol.iter))), t, np.asarray(ca.rho))
 
@@ -363,13 +399,14 @@ def bench_rocket(reps):
     x0s = jnp.asarray(rocket.X_INIT[None, :]
                       * rng.uniform(0.9, 1.1, size=(B, 1)), dtype)
 
-    def run():
+    def run(x0s):
         return fn(maps, c.rho, p.u_min, p.u_max, p.x_min, p.x_max, x0s)
 
-    _, _, iters, solved = run()
+    _, _, iters, solved = run(x0s)
     n_conv = int(np.sum(np.asarray(solved)))
     total_iters = float(np.sum(np.asarray(iters)))
-    t = _median_time(run, reps, sync=lambda o: o[3])
+    t = _device_loop_time(
+        run, x0s, lambda o: jnp.sum(o[3]).astype(jnp.float32), reps)
     log(f"rocket SOC: {n_conv}/{B} converged ({100.0 * n_conv / B:.2f}%), "
         f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s")
     return dict(solves_per_sec=round(n_conv / t, 1),
@@ -433,13 +470,11 @@ def bench_rocket_sweep(reps):
                                   phase2_iters=400, lanes=L,
                                   batch_tile=min(1024, L))
 
-    def run():
-        return pipe(x0s)
-
-    _, _, iters, solved = (np.asarray(o) for o in run())
+    _, _, iters, solved = (np.asarray(o) for o in pipe(x0s))
     n_conv = int(solved.sum())
     total_iters = float(iters[solved == 1].sum())
-    t = _median_time(run, reps, sync=lambda o: o[3])
+    t = _device_loop_time(
+        pipe, x0s, lambda o: jnp.sum(o[3]).astype(jnp.float32), reps)
     log(f"rocket per-group-cones sweep: G={G} cone configs x L={L} lanes, "
         f"{n_conv}/{G * L} converged ({100.0 * n_conv / (G * L):.2f}%), "
         f"median {t * 1e3:.1f} ms -> {n_conv / t:.0f} solves/s")
@@ -474,12 +509,11 @@ def bench_mpc_loop(reps):
     rng = np.random.default_rng(3)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
 
-    def run():
-        return fused(x0s)
-
-    res = run()
+    res = fused(x0s)
     conv = float(np.asarray(res.solved).mean())
-    t = _median_time(run, reps, sync=lambda r: r.solved)
+    t = _device_loop_time(
+        fused, x0s, lambda r: jnp.sum(r.solved).astype(jnp.float32), reps,
+        target_s=1.0)
     steps = B * n_steps
     log(f"fused MPC loop: {steps} closed-loop steps in {t * 1e3:.1f} ms "
         f"-> {steps / t:.0f} steps/s ({100 * conv:.1f}% solved)")
@@ -531,13 +565,11 @@ def bench_randomized_sweep(reps):
     pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
                                   phase2_iters=1500, lanes=L)
 
-    def run():
-        return pipe(x0s)
-
-    _, _, iters, solved = (np.asarray(o) for o in run())
+    _, _, iters, solved = (np.asarray(o) for o in pipe(x0s))
     n_conv = int(solved.sum())
     total_iters = float(iters[solved == 1].sum())
-    t = _median_time(run, reps, sync=lambda o: o[3])
+    t = _device_loop_time(
+        pipe, x0s, lambda o: jnp.sum(o[3]).astype(jnp.float32), reps)
     log(f"randomized quadrotor sweep: G={G} problems x L={L} lanes, "
         f"{n_conv}/{G * L} converged ({100.0 * n_conv / (G * L):.2f}%), "
         f"median {t * 1e3:.1f} ms -> {n_conv / t:.0f} solves/s")
