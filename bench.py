@@ -470,7 +470,9 @@ def bench_rocket_sweep(reps):
                                   phase2_iters=400, lanes=L,
                                   batch_tile=min(1024, L))
 
-    _, _, iters, solved = (np.asarray(o) for o in pipe(x0s))
+    _, _, iters, solved, overflow = (np.asarray(o) for o in pipe(x0s))
+    if overflow.any():
+        log(f"rocket sweep: straggler overflow {overflow.tolist()}")
     n_conv = int(solved.sum())
     total_iters = float(iters[solved == 1].sum())
     t = _device_loop_time(
@@ -565,7 +567,9 @@ def bench_randomized_sweep(reps):
     pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
                                   phase2_iters=1500, lanes=L)
 
-    _, _, iters, solved = (np.asarray(o) for o in pipe(x0s))
+    _, _, iters, solved, overflow = (np.asarray(o) for o in pipe(x0s))
+    if overflow.any():
+        log(f"randomized sweep: straggler overflow {overflow.tolist()}")
     n_conv = int(solved.sum())
     total_iters = float(iters[solved == 1].sum())
     t = _device_loop_time(

@@ -176,6 +176,57 @@ class TestAdaptiveSolve:
         np.testing.assert_allclose(np.asarray(us_f), np.asarray(us_a),
                                    atol=1e-12)
 
+    def test_termination_controller_matches_standard(self):
+        """The extension controller (adaptive_rho_controller="termination" +
+        trust clip) pins per-lane against the standard adaptive path — same
+        iteration counts and rho trajectories, on a mis-set-low rho0 where
+        rho genuinely moves (ops/rho.termination_controller)."""
+        RHO0 = 0.5
+        xmax = np.array([2.0, 1e17, 1e17, 1e17])
+        N = 20
+        p = make_problem(jnp.asarray(cartpole.A), jnp.asarray(cartpole.B),
+                         jnp.asarray(np.diag(cartpole.Q_DIAG)),
+                         jnp.asarray(np.diag(cartpole.R_DIAG)), RHO0, N,
+                         u_min=-5.0, u_max=5.0,
+                         x_min=jnp.asarray(np.tile(-xmax, (N, 1))),
+                         x_max=jnp.asarray(np.tile(xmax, (N, 1))))
+        c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(RHO0, p.A.dtype))
+        s = Settings(max_iter=200, en_state_bound=True, en_input_bound=True,
+                     adaptive_rho=True, adaptive_rho_controller="termination",
+                     adaptive_rho_min=1e-4, adaptive_rho_max=1e4,
+                     adaptive_rho_taylor_trust=2.0)
+        rng = np.random.default_rng(5)
+        B = 16
+        x0s = jnp.asarray(rng.uniform(-1, 1, size=(B, 4))
+                          * np.array([1.8, 1.0, 0.4, 0.5]))
+        xs, us, iters, solved, carry = solve_condensed_adaptive(
+            p, c, s, x0s, return_carry=True)
+
+        st0 = set_x0_batch(
+            broadcast_state(init_state(4, 1, N, p.A.dtype), B), x0s)
+        _, ca_f, sol = solve_batch(p, c, s, st0)
+
+        # with the controller moving rho to the edge of the trust region
+        # (|drho| = 2), the documented O(drho^3) T1 truncation (PARITY.md
+        # "Known deviations") can flip a boundary lane by an iteration or
+        # two — unlike the tiny-drho OSQP-controller tests above, exact
+        # iteration parity is not expected here.
+        it_c, it_s = np.asarray(iters), np.asarray(sol.iter)
+        assert np.mean(it_c == it_s) >= 0.85
+        conv = (np.asarray(solved) == 1) & (np.asarray(sol.solved) == 1)
+        assert conv.sum() >= B - 4
+        assert np.abs(it_c - it_s)[conv].max() <= 3
+        # converged lanes made identical controller decisions (exhausted
+        # lanes keep compounding the truncation for 200 iterations and may
+        # legitimately end on a different rho)
+        np.testing.assert_allclose(np.asarray(carry.rho)[conv],
+                                   np.asarray(ca_f.rho)[conv], rtol=1e-6)
+        # rho must actually move (both up to the trust clip and down)
+        rho = np.asarray(carry.rho)[conv]
+        assert rho.max() > RHO0 and rho.min() < RHO0
+        np.testing.assert_allclose(np.asarray(us)[conv],
+                                   np.asarray(sol.u)[conv], atol=1e-4)
+
     def test_warm_start_carries_rho(self):
         p, c = _mk(cartpole, 1.0, 5.0)
         s = Settings(max_iter=200, en_state_bound=False, en_input_bound=True,

@@ -451,3 +451,116 @@ def test_adaptive_fused_check_termination():
                                   np.asarray(it2)[both])
     np.testing.assert_allclose(np.asarray(us)[both], np.asarray(us2)[both],
                                atol=1e-4, rtol=1e-4)
+
+
+def test_adaptive_fused_termination_controller_matches_xla():
+    """VERDICT r4 item 2: the termination-residual controller
+    (ops/rho.termination_controller) live inside the adaptive fused kernel,
+    pinned bitwise-on-rho against the condensed XLA path on a mis-set-low
+    rho0 where rho genuinely moves (up to the Taylor trust clip and down
+    through the deadband)."""
+    from tinympc_julia_tpu.ops.condensed import (build_condensed_taylor,
+                                                 solve_condensed_adaptive)
+    from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
+        make_condensed_adaptive_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 16
+    RHO0 = 0.5
+    xmax = np.array([2.0, 1e17, 1e17, 1e17])
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     RHO0, N, u_min=-5.0, u_max=5.0,
+                     x_min=jnp.asarray(np.tile(-xmax, (N, 1)), dtype),
+                     x_max=jnp.asarray(np.tile(xmax, (N, 1)), dtype))
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(RHO0, dtype))
+    tmaps = build_condensed_taylor(p, c, order=2)
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-1, 1, size=(B, 4))
+                      * np.array([1.8, 1.0, 0.4, 0.5]), dtype)
+
+    s = Settings(max_iter=200, en_state_bound=True, en_input_bound=True,
+                 adaptive_rho=True, adaptive_rho_controller="termination",
+                 adaptive_rho_min=1e-4, adaptive_rho_max=1e4,
+                 adaptive_rho_taylor_trust=2.0)
+    _, us1, it1, ok1, jc = solve_condensed_adaptive(p, c, s, x0s, tmaps,
+                                                    return_carry=True)
+    fn = make_condensed_adaptive_fused_solver(
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
+        batch_tile=16, max_iter=200, en_state_bound=True,
+        en_input_bound=True, controller="termination",
+        adaptive_rho_min=1e-4, adaptive_rho_max=1e4, taylor_trust=2.0,
+        interpret=jax.default_backend() != "tpu")
+    _, us2, it2, ok2, rho2 = fn(tmaps, p.u_min, p.u_max, p.x_min, p.x_max,
+                                x0s)
+
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(it2))
+    np.testing.assert_array_equal(np.asarray(jc.rho), np.asarray(rho2))
+    rho = np.asarray(rho2)
+    assert rho.max() == RHO0 + 2.0 and rho.min() < RHO0  # rho really moved
+    both = (np.asarray(ok1) == 1) & (np.asarray(ok2) == 1)
+    np.testing.assert_allclose(np.asarray(us1)[both], np.asarray(us2)[both],
+                               atol=1e-4)
+
+
+def test_adaptive_fused_rocket_soc_matches_xla():
+    """VERDICT r4 item 4 (single-group leg): the adaptive fused kernel with
+    the full SOC/box stack (selector-matmul projections shared with the
+    fixed-rho kernel) pins per-lane against solve_condensed_adaptive on the
+    rocket-landing config."""
+    from tinympc_julia_tpu import ConeSet
+    from tinympc_julia_tpu.models import rocket
+    from tinympc_julia_tpu.ops.condensed import (build_condensed_taylor,
+                                                 solve_condensed_adaptive)
+    from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
+        make_condensed_adaptive_fused_solver)
+
+    dtype = jnp.float32
+    N = rocket.HORIZON
+    B = 8
+    xb = rocket.bounds()
+    p = make_problem(
+        jnp.asarray(rocket.A, dtype), jnp.asarray(rocket.B, dtype),
+        jnp.asarray(np.diag(rocket.Q_DIAG), dtype),
+        jnp.asarray(np.diag(rocket.R_DIAG), dtype), rocket.RHO, N,
+        f=jnp.asarray(rocket.F, dtype),
+        x_min=jnp.asarray(xb[0].T, dtype), x_max=jnp.asarray(xb[1].T, dtype),
+        u_min=-10.0, u_max=105.0,
+        cones_u=ConeSet(mus=jnp.asarray([rocket.MU_INPUT], dtype),
+                        starts=(0,), dims=(3,)),
+        cones_x=ConeSet(mus=jnp.asarray([rocket.MU_STATE], dtype),
+                        starts=(0,), dims=(3,)))
+    Xref, Uref = rocket.reference_trajectory(0)
+    p = p.replace(Xref=jnp.asarray(Xref.T, dtype),
+                  Uref=jnp.asarray(Uref.T, dtype))
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(rocket.RHO, dtype))
+    tmaps = build_condensed_taylor(p, c)
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rocket.X_INIT[None, :]
+                      * rng.uniform(0.9, 1.1, size=(B, 1)), dtype)
+
+    s = Settings(max_iter=100, abs_pri_tol=2e-3, abs_dua_tol=1e-3,
+                 en_state_bound=True, en_input_bound=True,
+                 en_input_soc=True, en_state_soc=True, adaptive_rho=True,
+                 adaptive_rho_min=1.0, adaptive_rho_max=100.0)
+    _, us1, it1, ok1, jc = solve_condensed_adaptive(p, c, s, x0s, tmaps,
+                                                    return_carry=True)
+    fn = make_condensed_adaptive_fused_solver(
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
+        batch_tile=8, max_iter=100, abs_pri_tol=2e-3, abs_dua_tol=1e-3,
+        en_state_bound=True, en_input_bound=True,
+        adaptive_rho_min=1.0, adaptive_rho_max=100.0,
+        soc_u=((0, 3, rocket.MU_INPUT),), soc_x=((0, 3, rocket.MU_STATE),),
+        interpret=jax.default_backend() != "tpu")
+    _, us2, it2, ok2, rho2 = fn(tmaps, p.u_min, p.u_max, p.x_min, p.x_max,
+                                x0s)
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(it2))
+    assert int(np.asarray(ok2).sum()) == B
+    np.testing.assert_allclose(np.asarray(jc.rho), np.asarray(rho2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(us1), np.asarray(us2), atol=1e-4)

@@ -302,22 +302,35 @@ class TinyMPCSolver:
 
     # -- solve ---------------------------------------------------------------
 
-    def solve(self, *, verbose=False):
+    def solve(self, *, verbose=False, chunked=None):
         """Run ADMM to convergence; persists workspace + cache for warm starts
         (the reference's singleton persistence, SURVEY.md §5.4).  Returns 0 on
         convergence, 1 on max_iter exhaustion (admm.cpp:192,206).
 
-        Long horizons automatically ride the chunked-condensation
-        recursions (ops/scans.py) when the full condensed maps would bust
-        the memory budget — same iterates up to float reassociation."""
+        ``chunked``: None (default) auto-selects the chunked-condensation
+        recursions (ops/scans.py) for long horizons where the full condensed
+        maps would bust the memory budget — same iterates up to float
+        reassociation (a documented deviation from the sequential golden
+        path; PARITY.md "Known deviations").  ``False`` forces the exact
+        sequential recursions at any horizon; ``True`` forces chunking
+        (raises if no chunk size fits)."""
         self._require_setup()
         cm = None
-        if not self.horizon_parallel and not self.settings.adaptive_rho:
-            from .ops.condensed import auto_chunk_size, auto_uses_condensed
-            p = self.problem
-            if (not auto_uses_condensed(p.nx, p.nu, p.N)
-                    and auto_chunk_size(p.nx, p.nu, p.N) is not None):
-                cm = self._get_chunk_maps()
+        if chunked is None:
+            chunked = (not self.horizon_parallel
+                       and not self.settings.adaptive_rho)
+            if chunked:
+                from .ops.condensed import (auto_chunk_size,
+                                            auto_uses_condensed)
+                p = self.problem
+                chunked = (not auto_uses_condensed(p.nx, p.nu, p.N)
+                           and auto_chunk_size(p.nx, p.nu, p.N) is not None)
+        if chunked:
+            if self.settings.adaptive_rho:
+                raise ValueError("chunked solves are incompatible with "
+                                 "adaptive_rho (the chunk maps bake the "
+                                 "setup-time gains)")
+            cm = self._get_chunk_maps()
         self.state, self.cache, self.solution = admm.solve(
             self.problem, self.cache, self.settings, self.state,
             horizon_parallel=self.horizon_parallel, chunk_maps=cm)
@@ -347,11 +360,16 @@ class TinyMPCSolver:
             float32, full box/linear/SOC constraint stack, per-lane
             adaptive-rho; fastest on TPU — the batch is padded to the
             kernel tile)
+          * "chunked"   — the standard masked loop with chunked-condensation
+            horizon recursions (ops/scans.build_chunk_maps) — the
+            long-horizon path beyond the full-condensation budget (same
+            iterates up to float reassociation; fixed rho only)
           * "auto"      — condensed while the O((N(nx+nu))^2) maps fit the
             memory budget (ops/condensed.AUTO_CONDENSED_BUDGET_BYTES);
-            beyond that, the sequential-scan path.  Measured (DESIGN.md §3):
-            the condensed solve wins at every horizon up to N=1024 on a v5e
-            chip, so the budget — not a perf crossover — is the bound.
+            beyond that, chunked (fixed rho) or standard (adaptive rho).
+            Measured (DESIGN.md §3): the condensed solve wins at every
+            horizon up to N=1024 on a v5e chip, so the budget — not a perf
+            crossover — is the bound.
 
         Warm starts: pass ``return_carry=True`` to additionally receive an
         opaque ``BatchWarmCarry``, and pass it back as ``warm=`` (same
@@ -376,10 +394,13 @@ class TinyMPCSolver:
             if auto_uses_condensed(p.nx, p.nu, p.N,
                                    adaptive=self.settings.adaptive_rho):
                 method = "condensed"
-            elif auto_chunk_size(p.nx, p.nu, p.N) is not None:
+            elif (not self.settings.adaptive_rho
+                    and auto_chunk_size(p.nx, p.nu, p.N) is not None):
                 # beyond the full-condensation budget: chunked horizon
                 # recursions on the standard loop (measured to beat the
-                # sequential scan at long N — DESIGN.md §3)
+                # sequential scan at long N — DESIGN.md §3).  The chunk maps
+                # bake the setup-time gains, so adaptive-rho (which moves
+                # Kinf) must ride the standard path instead.
                 method = "chunked"
             else:
                 method = "standard"
@@ -388,8 +409,12 @@ class TinyMPCSolver:
                 raise TypeError("warm must be a BatchWarmCarry from a "
                                 "previous solve_batch(return_carry=True)")
             if warm.method != method:
-                raise ValueError(f"warm carry is for method={warm.method!r};"
-                                 f" this solve resolved to {method!r}")
+                raise ValueError(
+                    f"warm carry is for method={warm.method!r}; this solve "
+                    f"resolved to {method!r} (method='auto' resolves by the "
+                    "condensed-maps budget and the adaptive_rho setting — "
+                    "pass the method explicitly to keep a carry valid "
+                    "across settings changes)")
             if warm.batch != B:
                 raise ValueError(f"warm carry holds {warm.batch} lanes, "
                                  f"x0s has {B}")
@@ -398,6 +423,12 @@ class TinyMPCSolver:
                                            return_carry=return_carry)
         if method == "condensed":
             if self.settings.adaptive_rho:
+                if self.settings.adaptive_rho_rebuild:
+                    raise ValueError(
+                        "adaptive_rho_rebuild on the condensed/fused fast "
+                        "paths runs as the bucketed rebuild pipeline: use "
+                        "solve_batch_rebuild_adaptive (or method='standard' "
+                        "for the per-update exact rebuild)")
                 # adaptive-rho rides the Taylor-expanded condensed maps
                 from .ops.condensed import (build_condensed_taylor,
                                             solve_condensed_adaptive)
@@ -475,16 +506,19 @@ class TinyMPCSolver:
                 "the fused path needs check_termination >= 1 dividing "
                 f"max_iter (got {ct} / {s.max_iter})")
         if s.adaptive_rho:
-            if (s.en_input_soc or s.en_state_soc or s.en_input_linear
-                    or s.en_state_linear):
-                raise ValueError("fused adaptive-rho supports box constraints"
-                                 " only; use method='condensed'")
-            if ct != 1:
-                raise ValueError("fused adaptive-rho checks termination every"
-                                 " iteration (check_termination=1)")
-            if s.max_iter % 5 != 0:
-                raise ValueError("fused adaptive-rho needs max_iter divisible"
-                                 " by the rho update interval (5)")
+            if s.adaptive_rho_rebuild:
+                raise ValueError(
+                    "adaptive_rho_rebuild on the condensed/fused fast paths "
+                    "runs as the bucketed rebuild pipeline: use "
+                    "solve_batch_rebuild_adaptive (or method='standard' for "
+                    "the per-update exact rebuild)")
+            import math as _math
+            step = _math.lcm(5, ct)
+            if s.max_iter % step != 0:
+                raise ValueError(
+                    "fused adaptive-rho needs max_iter divisible by "
+                    f"lcm(check_termination, 5) = {step} (the rho update "
+                    f"interval; got max_iter={s.max_iter})")
 
         B = x0s.shape[0]
         big = (p.nx * p.N + p.nu * (p.N - 1)) > 200
@@ -502,6 +536,20 @@ class TinyMPCSolver:
         from .types import settings_bake_key
         key = (settings_bake_key(s), Bt, interpret, warm_start, return_carry)
         fn = self._fused_solvers.get(key)
+
+        def cone_spec(cones):
+            mus = np.asarray(cones.mus, float)
+            return tuple(
+                (int(st), int(dm), float(mu)) for st, dm, mu in
+                zip(cones.starts, cones.dims, mus))
+
+        constraint_kw = dict(
+            soc_u=cone_spec(p.cones_u) if s.en_input_soc else (),
+            soc_x=cone_spec(p.cones_x) if s.en_state_soc else (),
+            lin_u=((np.asarray(p.Alin_u), np.asarray(p.blin_u))
+                   if s.en_input_linear else None),
+            lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
+                   if s.en_state_linear else None))
 
         if s.adaptive_rho:
             from .ops.condensed import build_condensed_taylor
@@ -524,8 +572,11 @@ class TinyMPCSolver:
                     adaptive_rho_min=float(s.adaptive_rho_min),
                     adaptive_rho_max=float(s.adaptive_rho_max),
                     adaptive_rho_clipping=s.adaptive_rho_enable_clipping,
+                    check_termination=ct,
+                    controller=s.adaptive_rho_controller,
+                    taylor_trust=float(s.adaptive_rho_taylor_trust),
                     warm_start=warm_start, carry_out=return_carry,
-                    interpret=interpret)
+                    interpret=interpret, **constraint_kw)
                 self._fused_solvers[key] = fn
             a = (self._condensed_taylor_maps, p.u_min, p.u_max, p.x_min,
                  p.x_max, x0s_p)
@@ -541,12 +592,6 @@ class TinyMPCSolver:
             if self._condensed_maps is None:
                 self._condensed_maps = build_condensed(p, self.cache)
             if fn is None:
-                def cone_spec(cones):
-                    mus = np.asarray(cones.mus, float)
-                    return tuple(
-                        (int(st), int(dm), float(mu)) for st, dm, mu in
-                        zip(cones.starts, cones.dims, mus))
-
                 fn = make_condensed_fused_solver(
                     p.nx, p.nu, p.N, batch_tile=Bt, max_iter=s.max_iter,
                     abs_pri_tol=float(s.abs_pri_tol),
@@ -555,14 +600,8 @@ class TinyMPCSolver:
                     en_input_bound=s.en_input_bound,
                     relaxation_alpha=s.relaxation_alpha,
                     check_termination=ct,
-                    soc_u=cone_spec(p.cones_u) if s.en_input_soc else (),
-                    soc_x=cone_spec(p.cones_x) if s.en_state_soc else (),
-                    lin_u=((np.asarray(p.Alin_u), np.asarray(p.blin_u))
-                           if s.en_input_linear else None),
-                    lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
-                           if s.en_state_linear else None),
                     warm_start=warm_start, carry_out=return_carry,
-                    interpret=interpret)
+                    interpret=interpret, **constraint_kw)
                 self._fused_solvers[key] = fn
             a = (self._condensed_maps, self.cache.rho, p.u_min, p.u_max,
                  p.x_min, p.x_max, x0s_p)

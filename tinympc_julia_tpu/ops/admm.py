@@ -176,6 +176,13 @@ def make_loop_fns(problem: Problem, settings: Settings, *,
     the chunked-condensation form — the long-horizon fast path (N/C serial
     steps of big matmuls; same values up to float reassociation).
     """
+    if chunk_maps is not None and settings.adaptive_rho:
+        # The chunk maps bake the setup-time Kinf/Quu_inv/AmBKt into
+        # T1c/Pp/Pc; adaptive-rho moves those terms every 5 iterations, so
+        # the chunked recursions would silently run a stale gain.
+        raise ValueError("chunk_maps are incompatible with adaptive_rho "
+                         "(the maps bake the setup-time gains); use the "
+                         "standard path")
     dtype = dtype or problem.A.dtype
     pri_tol = jnp.asarray(settings.abs_pri_tol, dtype)
     dua_tol = jnp.asarray(settings.abs_dua_tol, dtype)

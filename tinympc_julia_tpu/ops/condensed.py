@@ -837,10 +837,23 @@ def _solve_condensed_adaptive_impl(problem: Problem, cache: Cache,
         do_up = jnp.logical_and(i > 0, i % 5 == 0)
 
         def rho_update(_):
-            pri_r, dua_r, pri_n, dua_n = _osqp_residuals_stacked(
-                x, u, znew, vnew, y, g, problem, cache, drho, N)
-            newr = rho_mod.predict_rho(pri_r, dua_r, pri_n, dua_n, rho_b,
-                                       settings, dtype)
+            if settings.adaptive_rho_controller == "termination":
+                # per-lane termination residuals at the update point (v/z
+                # are the previous slacks — the standard path's
+                # predict_rho_termination values), trust-clipped around the
+                # Taylor center rho0.
+                pri = jnp.maximum(jnp.max(jnp.abs(x - vnew), axis=0),
+                                  jnp.max(jnp.abs(u - znew), axis=0))
+                dua = rho_b * jnp.maximum(
+                    jnp.max(jnp.abs(v - vnew), axis=0),
+                    jnp.max(jnp.abs(z - znew), axis=0))
+                newr = rho_mod.termination_controller(
+                    pri, dua, rho_b, settings, dtype, rho_center=rho0)
+            else:
+                pri_r, dua_r, pri_n, dua_n = _osqp_residuals_stacked(
+                    x, u, znew, vnew, y, g, problem, cache, drho, N)
+                newr = rho_mod.predict_rho(pri_r, dua_r, pri_n, dua_n,
+                                           rho_b, settings, dtype)
             return jnp.where(conv, rho_b, newr)
 
         rho_new = lax.cond(do_up, rho_update, lambda _: rho_b, None)

@@ -16,12 +16,16 @@ iteration maps; this kernel keeps that whole iteration VMEM-resident:
   terms are stacked-diagonal scalings, and the terminal Pinf(rho) row uses
   the Taylor pair (P0, dP).
 
-Scope: box constraints, float32 — the adaptive-rho throughput
-configuration (e.g. the quadrotor sweep).  ``num_groups=G > 1`` adds a
-group grid dimension exactly like condensed_kernel.py: G distinct
-problems (per-group Taylor maps, residual maps, bounds, rho0) with L
-lanes each — the domain-randomized sweep with per-lane adaptive rho runs
-fully fused.  Semantics match solve_condensed_adaptive (grouped:
+Scope: the full constraint stack (box / per-stage halfspace / scaled SOC,
+as selector matmuls shared with condensed_kernel.py), float32.
+``num_groups=G > 1`` adds a group grid dimension exactly like
+condensed_kernel.py: G distinct problems (per-group Taylor maps, residual
+maps, bounds, rho0, cone/halfspace data) with L lanes each — the
+domain-randomized sweep with per-lane adaptive rho runs fully fused.
+``controller="termination"`` swaps the reference's OSQP-form rho
+predictor for the extension controller (ops/rho.termination_controller)
+computed from the in-vreg termination residuals — the OSQP residual maps
+are then never built or loaded.  Semantics match solve_condensed_adaptive (grouped:
 solve_condensed_adaptive_grouped) per lane, including
 `check_termination=k`
 (residual/latch block only every k-th iteration) and the warm-start carry
@@ -45,8 +49,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..condensed import CondensedTaylorMaps
-from ..rho import EPS
-from .condensed_kernel import _make_dot
+from ..rho import EPS, TERM_DEADBAND, TERM_MAX_STEP
+from .condensed_kernel import (_make_dot, apply_lin, apply_soc,
+                               build_constraint_mats, constraint_args_specs)
 
 RHO_INTERVAL = 5  # admm.cpp:156
 
@@ -107,6 +112,8 @@ def make_condensed_adaptive_fused_solver(
         adaptive_rho_min: float = 1.0, adaptive_rho_max: float = 100.0,
         adaptive_rho_clipping: bool = True,
         check_termination: int = 1,
+        controller: str = "osqp", taylor_trust: float = float("inf"),
+        soc_u: tuple = (), soc_x: tuple = (), lin_u=None, lin_x=None,
         warm_start: bool = False, carry_out: bool = False,
         precision=jax.lax.Precision.HIGHEST,
         num_groups: int = 1,
@@ -118,6 +125,23 @@ def make_condensed_adaptive_fused_solver(
     solve_fn(tmaps: CondensedTaylorMaps, u_min, u_max, x_min, x_max, x0s
     [, warm]) ->
     (x (B,N,nx), u (B,N-1,nu), iters (B,), solved (B,), rho (B,)[, carry]).
+
+    ``controller`` selects the per-lane rho predictor (Settings
+    .adaptive_rho_controller semantics): "osqp" is the reference's
+    OSQP-form residual controller (rho_benchmark.cpp:146-197, the default);
+    "termination" is the extension controller (ops/rho
+    .termination_controller) driven by the termination residuals the kernel
+    already computes in-vregs — no stacked residual maps are built or
+    loaded at all on that config.  ``taylor_trust`` additionally clips the
+    termination prediction to rho0 +- trust (per group), protecting the
+    first-order Taylor maps from predictions outside their measured
+    validity radius (|drho| ~ 2, docs/DESIGN.md §4).
+
+    ``soc_u``/``soc_x``/``lin_u``/``lin_x`` take the same per-stage
+    scaled-SOC / halfspace constraint specs as make_condensed_fused_solver
+    (selector-matmul projections; per-group mu/b data rides the group
+    grid), composing box -> linear -> SOC exactly like the XLA adaptive
+    path (ops/condensed.solve_condensed_adaptive).
 
     ``check_termination=k`` evaluates the residual/latch block only every
     k-th iteration (Settings semantics); max_iter must be a multiple of
@@ -146,33 +170,50 @@ def make_condensed_adaptive_fused_solver(
     if ct < 1:
         raise ValueError("check_termination must be >= 1 on the fused "
                          f"adaptive kernel (got {ct})")
-    # No state bound => the state dual g is identically zero (bit-exact
-    # induction from g0 = 0, see condensed_kernel.py): drop the g scratch
-    # and its sx-row updates, and the whole A^T g residual block (the Gx/Gu
-    # contractions — two of the five matmuls in the rho-prediction path).
-    state_free = not en_state_bound
+    if controller not in ("osqp", "termination"):
+        raise ValueError("controller must be 'osqp' or 'termination', got "
+                         f"{controller!r}")
+    osqp_ctrl = controller == "osqp"
+    # No state-side constraint => the state dual g is identically zero
+    # (bit-exact induction from g0 = 0, see condensed_kernel.py): drop the
+    # g scratch and its sx-row updates, and the whole A^T g residual block
+    # (the Gx/Gu contractions — two of the five matmuls in the OSQP
+    # rho-prediction path).
+    state_free = ((not en_state_bound) and not soc_x and lin_x is None)
     STEP = math.lcm(RHO_INTERVAL, ct)
     assert max_iter % STEP == 0, \
         (f"max_iter must be a multiple of lcm(check_termination, "
          f"{RHO_INTERVAL}) = {STEP} (got {max_iter})")
-    rmaps = [_residual_maps(A[g], B[g], N) for g in range(G)]
-    Dx_m, Du_m, Gx_m, Gu_m = (np.stack([m[k] for m in rmaps])
-                              for k in range(4))
-    qd_m = _as_grouped(Qdiag, G, 1, "Qdiag")
-    rd_m = _as_grouped(Rdiag, G, 1, "Rdiag")
-    qstk = np.tile(qd_m, (1, N)).reshape(G, sx, 1)
-    rstk = np.tile(rd_m, (1, N - 1)).reshape(G, su, 1)
-    P0_m = _as_grouped(Pinf, G, 2, "Pinf")
-    dP_m = _as_grouped(dPinf, G, 2, "dPinf")
+    if osqp_ctrl:
+        # the OSQP-form controller needs the stacked residual maps; the
+        # termination controller works entirely from in-vreg iterates
+        rmaps = [_residual_maps(A[g], B[g], N) for g in range(G)]
+        Dx_m, Du_m, Gx_m, Gu_m = (np.stack([m[k] for m in rmaps])
+                                  for k in range(4))
+        qd_m = _as_grouped(Qdiag, G, 1, "Qdiag")
+        rd_m = _as_grouped(Rdiag, G, 1, "Rdiag")
+        qstk = np.tile(qd_m, (1, N)).reshape(G, sx, 1)
+        rstk = np.tile(rd_m, (1, N - 1)).reshape(G, su, 1)
+        P0_m = _as_grouped(Pinf, G, 2, "Pinf")
+        dP_m = _as_grouped(dPinf, G, 2, "dPinf")
+    soc_u_mats, soc_x_mats, lin_u_mats, lin_x_mats, n_cref = \
+        build_constraint_mats(G, soc_u, soc_x, lin_u, lin_x, N, nx, nu)
     _dot = _make_dot(precision)
 
     def kernel(*refs):
         it = iter(refs)
-        (T1s_r, T2s_r, rho0_r, umin_r, umax_r, xmin_r, xmax_r,
-         Dx_r, Du_r) = (next(it) for _ in range(9))
-        if not state_free:
-            Gx_r, Gu_r = (next(it) for _ in range(2))
-        qd_r, rd_r, P0_r, dP_r, x0_r = (next(it) for _ in range(5))
+        (T1s_r, T2s_r, rho0_r, umin_r, umax_r, xmin_r, xmax_r) = (
+            next(it) for _ in range(7))
+        if osqp_ctrl:
+            Dx_r, Du_r = (next(it) for _ in range(2))
+            if not state_free:
+                Gx_r, Gu_r = (next(it) for _ in range(2))
+            qd_r, rd_r, P0_r, dP_r = (next(it) for _ in range(4))
+        soc_u_refs = [[next(it) for _ in range(6)] for _ in soc_u_mats]
+        soc_x_refs = [[next(it) for _ in range(6)] for _ in soc_x_mats]
+        lin_u_refs = [[next(it) for _ in range(3)] for _ in lin_u_mats]
+        lin_x_refs = [[next(it) for _ in range(3)] for _ in lin_x_mats]
+        x0_r = next(it)
         if warm_start:
             if state_free:
                 d0_r, y0_r, v0_r, z0_r, rhoc_r = (
@@ -203,9 +244,10 @@ def make_condensed_adaptive_fused_solver(
         rho0 = rho0_r[0, 0, 0]
         umin, umax = umin_r[0], umax_r[0]
         xmin, xmax = xmin_r[0], xmax_r[0]
-        Dx, Du = Dx_r[0], Du_r[0]
-        qd, rd = qd_r[0], rd_r[0]
-        P0, dP = P0_r[0], dP_r[0]
+        if osqp_ctrl:
+            Dx, Du = Dx_r[0], Du_r[0]
+            qd, rd = qd_r[0], rd_r[0]
+            P0, dP = P0_r[0], dP_r[0]
 
         vec1_s[...] = jnp.zeros_like(vec1_s)
         vec1_s[su:su + nx] = x0_r[...]
@@ -316,6 +358,15 @@ def make_condensed_adaptive_fused_solver(
                 vnew = x_hat + g_s[...]
                 if en_state_bound:
                     vnew = jnp.minimum(xmax, jnp.maximum(xmin, vnew))
+            # composition order: box -> linear -> SOC (ops/condensed.py)
+            for refs_j in lin_u_refs:
+                znew = apply_lin(znew, refs_j, _dot)
+            for refs_j in lin_x_refs:
+                vnew = apply_lin(vnew, refs_j, _dot)
+            for refs_j in soc_u_refs:
+                znew = apply_soc(znew, refs_j, _dot)
+            for refs_j in soc_x_refs:
+                vnew = apply_soc(vnew, refs_j, _dot)
 
             prev = conv_s[...] != 0
             y_new = jnp.where(prev, y_s[...], y_s[...] + u_hat - znew)
@@ -327,7 +378,33 @@ def make_condensed_adaptive_fused_solver(
             if update_slot:
                 # reference gate: i > 0 and i % 5 == 0; converged lanes
                 # keep their rho
-                pred = predict(x, u, znew, vnew, y_new, drho, rho_b)
+                if osqp_ctrl:
+                    pred = predict(x, u, znew, vnew, y_new, drho, rho_b)
+                else:
+                    # termination controller (ops/rho.termination_controller
+                    # semantics) from the in-vreg iterates: v/z are the
+                    # PREVIOUS slacks (read before this iteration's commit)
+                    def amax2(t):
+                        return jnp.max(jnp.abs(t), axis=0)[None, :]
+                    pri = jnp.maximum(amax2(x - vnew), amax2(u - znew))
+                    dua = rho_b * jnp.maximum(amax2(v - vnew),
+                                              amax2(z - znew))
+                    ratio = ((pri / pri_tol)
+                             / (dua / dua_tol + eps))
+                    factor = jnp.clip(jnp.sqrt(ratio),
+                                      jnp.float32(1.0 / TERM_MAX_STEP),
+                                      jnp.float32(TERM_MAX_STEP))
+                    move = jnp.logical_or(
+                        factor > jnp.float32(TERM_DEADBAND),
+                        factor < jnp.float32(1.0 / TERM_DEADBAND))
+                    pred = jnp.where(move, rho_b * factor, rho_b)
+                    if adaptive_rho_clipping:
+                        pred = jnp.clip(pred,
+                                        jnp.float32(adaptive_rho_min),
+                                        jnp.float32(adaptive_rho_max))
+                    if np.isfinite(taylor_trust):
+                        tr = jnp.float32(taylor_trust)
+                        pred = jnp.clip(pred, rho0 - tr, rho0 + tr)
                 do = jnp.logical_and(i > 0, jnp.logical_not(prev))
                 rho_new = jnp.where(do, pred, rho_b)
             else:
@@ -442,15 +519,20 @@ def make_condensed_adaptive_fused_solver(
                              (G, 1, 1)),
             bound(u_min, su), bound(u_max, su),
             bound(x_min, sx), bound(x_max, sx),
-            jnp.asarray(Dx_m), jnp.asarray(Du_m),
         ]
-        if not state_free:
-            args += [jnp.asarray(Gx_m), jnp.asarray(Gu_m)]
-        args += [jnp.asarray(qstk), jnp.asarray(rstk),
-                 jnp.asarray(P0_m), jnp.asarray(dP_m),
-                 x0s.T.astype(f32)]
-        in_specs = ([gspec(a.shape[1], a.shape[2]) for a in args[:-1]]
-                    + [tile_spec(nx)])
+        if osqp_ctrl:
+            args += [jnp.asarray(Dx_m), jnp.asarray(Du_m)]
+            if not state_free:
+                args += [jnp.asarray(Gx_m), jnp.asarray(Gu_m)]
+            args += [jnp.asarray(qstk), jnp.asarray(rstk),
+                     jnp.asarray(P0_m), jnp.asarray(dP_m)]
+        in_specs = [gspec(a.shape[1], a.shape[2]) for a in args]
+        shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+        cargs, cspecs = constraint_args_specs(
+            soc_u_mats, soc_x_mats, lin_u_mats, lin_x_mats, G, gspec, shared)
+        assert len(cargs) == n_cref
+        args += cargs + [x0s.T.astype(f32)]
+        in_specs += cspecs + [tile_spec(nx)]
         if warm_start:
             if warm is None:
                 raise ValueError("warm_start solver needs the warm carry")

@@ -103,6 +103,111 @@ def _halfspace_selectors(n_stages, dim, a, inv_sq):
     return SelA, Upd
 
 
+def apply_lin(w, refs, dot):
+    """One cyclic halfspace projection on the stacked array (per-group
+    selector matrices + bound).  Shared by the fixed-rho and adaptive fused
+    kernels."""
+    SelA_r, Upd_r, b_r = refs
+    viol = jnp.maximum(dot(SelA_r[0], w) - b_r[0, 0, 0], 0.0)
+    return w - dot(Upd_r[0], viol)
+
+
+def apply_soc(w, refs, dot):
+    """One per-stage scaled-SOC projection on the stacked array
+    (_project_soc_scaled semantics; mu is a per-group input).  Shared by the
+    fixed-rho and adaptive fused kernels."""
+    SelV_r, SelS_r, ExpV_r, ExpS_r, rowmask_r, mu_r = refs
+    SelV, SelS, ExpV, ExpS, rowmask = (
+        r[...] for r in (SelV_r, SelS_r, ExpV_r, ExpS_r, rowmask_r))
+    mu = mu_r[0, 0, 0]
+    a = jnp.sqrt(dot(SelV, w * w))          # (n_stages, Bt)
+    s = dot(SelS, w)
+    u0 = s * mu
+    safe_a = jnp.maximum(a, jnp.float32(1e-30))
+    factor = (a + u0) / (2.0 * safe_a)
+    below = (a <= -u0).astype(jnp.float32)
+    inside = (a <= u0).astype(jnp.float32)
+    w_proj = w * dot(ExpV, factor) + dot(ExpS, factor * (a / mu))
+    bel_r = dot(ExpV, below) + dot(ExpS, below)
+    ins_r = dot(ExpV, inside) + dot(ExpS, inside)
+    w_cone = jnp.where(bel_r > 0.5, jnp.zeros_like(w),
+                       jnp.where(ins_r > 0.5, w, w_proj))
+    return jnp.where(rowmask > 0.5, w_cone, w)
+
+
+def build_constraint_mats(G, soc_u, soc_x, lin_u, lin_x, N, nx, nu):
+    """Host-built constraint selector matrices (static inputs) for the fused
+    kernels.  STRUCTURE (cone starts/dims, halfspace row count) is shared
+    across groups; DATA (cone mu, halfspace a/b rows) may vary per group —
+    mu/b ride as (G, 1, 1) group-indexed inputs and the per-row halfspace
+    selector matrices stack along the group axis exactly like the maps.
+
+    Returns (soc_u_mats, soc_x_mats, lin_u_mats, lin_x_mats, n_cref)."""
+
+    def _per_group(v, what):
+        """Normalize a scalar-or-(G,) constraint datum to shape (G,)."""
+        a = np.asarray(v, np.float64).reshape(-1)
+        if a.size == 1:
+            return np.broadcast_to(a, (G,))
+        if a.size != G:
+            raise ValueError(f"{what}: expected a scalar or ({G},) per-group "
+                             f"values, got {np.asarray(v).shape}")
+        return a
+
+    def _lin_mats(lin, n_stages, dim):
+        if lin is None:
+            return []
+        Alin = np.asarray(lin[0], np.float64)
+        blin = np.asarray(lin[1], np.float64)
+        if Alin.ndim == 2:
+            Alin = np.broadcast_to(Alin[None], (G,) + Alin.shape)
+        if Alin.shape[0] != G:
+            raise ValueError(f"Alin: leading group axis must be {G}")
+        if blin.ndim == 1:
+            blin = np.broadcast_to(blin[None], (G, blin.shape[0]))
+        rows = []
+        for j in range(Alin.shape[1]):
+            SelAs, Upds = [], []
+            for g in range(G):
+                a = Alin[g, j]
+                inv_sq = 1.0 / max(float(a @ a), 1e-30)
+                SelA, Upd = _halfspace_selectors(n_stages, dim, a, inv_sq)
+                SelAs.append(SelA)
+                Upds.append(Upd)
+            rows.append((np.stack(SelAs), np.stack(Upds),
+                         blin[:, j].astype(np.float32)))
+        return rows
+
+    soc_u_mats = [(_cone_selectors(N - 1, nu, s, d), _per_group(mu, "soc mu"))
+                  for (s, d, mu) in soc_u]
+    soc_x_mats = [(_cone_selectors(N, nx, s, d), _per_group(mu, "soc mu"))
+                  for (s, d, mu) in soc_x]
+    lin_u_mats = _lin_mats(lin_u, N - 1, nu)
+    lin_x_mats = _lin_mats(lin_x, N, nx)
+    n_cref = 6 * (len(soc_u_mats) + len(soc_x_mats)) \
+        + 3 * (len(lin_u_mats) + len(lin_x_mats))
+    return soc_u_mats, soc_x_mats, lin_u_mats, lin_x_mats, n_cref
+
+
+def constraint_args_specs(soc_u_mats, soc_x_mats, lin_u_mats, lin_x_mats,
+                          G, gspec, shared):
+    """(args, specs) for the constraint selector inputs, in the kernel's
+    unpack order (SOCs first: 5 shared selectors + group-indexed mu each;
+    then halfspaces: group-indexed SelA/Upd/b)."""
+    cargs, cspecs = [], []
+    for (SelV, SelS, ExpV, ExpS, rowmask), mu in (*soc_u_mats, *soc_x_mats):
+        cargs += [jnp.asarray(m) for m in (SelV, SelS, ExpV, ExpS, rowmask)]
+        cspecs += [shared] * 5
+        cargs.append(jnp.asarray(mu.reshape(G, 1, 1), jnp.float32))
+        cspecs.append(gspec(1, 1))
+    for SelA, Upd, b in (*lin_u_mats, *lin_x_mats):
+        cargs += [jnp.asarray(SelA, jnp.float32), jnp.asarray(Upd, jnp.float32),
+                  jnp.asarray(b.reshape(G, 1, 1), jnp.float32)]
+        cspecs += [gspec(SelA.shape[1], SelA.shape[2]),
+                   gspec(Upd.shape[1], Upd.shape[2]), gspec(1, 1)]
+    return cargs, cspecs
+
+
 def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 batch_tile: int = 2048, max_iter: int = 100,
                                 abs_pri_tol: float = 1e-3,
@@ -175,83 +280,17 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                   and not _disable_state_free)
     _dot = _make_dot(precision)
 
-    # host-built constraint selector matrices (static inputs).  STRUCTURE
-    # (cone starts/dims, halfspace row count) is shared across groups;
-    # DATA (cone mu, halfspace a/b rows) may vary per group — mu/b ride as
-    # (G, 1, 1) group-indexed inputs and the per-row halfspace selector
-    # matrices stack along the group axis exactly like T12.
+    # host-built constraint selector matrices (static inputs); see
+    # build_constraint_mats for the per-group data contract.
     G = num_groups
-
-    def _per_group(v, what):
-        """Normalize a scalar-or-(G,) constraint datum to shape (G,)."""
-        a = np.asarray(v, np.float64).reshape(-1)
-        if a.size == 1:
-            return np.broadcast_to(a, (G,))
-        if a.size != G:
-            raise ValueError(f"{what}: expected a scalar or ({G},) per-group "
-                             f"values, got {np.asarray(v).shape}")
-        return a
-
-    def _lin_mats(lin, n_stages, dim):
-        if lin is None:
-            return []
-        Alin = np.asarray(lin[0], np.float64)
-        blin = np.asarray(lin[1], np.float64)
-        if Alin.ndim == 2:
-            Alin = np.broadcast_to(Alin[None], (G,) + Alin.shape)
-        if Alin.shape[0] != G:
-            raise ValueError(f"Alin: leading group axis must be {G}")
-        if blin.ndim == 1:
-            blin = np.broadcast_to(blin[None], (G, blin.shape[0]))
-        rows = []
-        for j in range(Alin.shape[1]):
-            SelAs, Upds = [], []
-            for g in range(G):
-                a = Alin[g, j]
-                inv_sq = 1.0 / max(float(a @ a), 1e-30)
-                SelA, Upd = _halfspace_selectors(n_stages, dim, a, inv_sq)
-                SelAs.append(SelA)
-                Upds.append(Upd)
-            rows.append((np.stack(SelAs), np.stack(Upds),
-                         blin[:, j].astype(np.float32)))
-        return rows
-
-    soc_u_mats = [(_cone_selectors(N - 1, nu, s, d), _per_group(mu, "soc mu"))
-                  for (s, d, mu) in soc_u]
-    soc_x_mats = [(_cone_selectors(N, nx, s, d), _per_group(mu, "soc mu"))
-                  for (s, d, mu) in soc_x]
-    lin_u_mats = _lin_mats(lin_u, N - 1, nu)
-    lin_x_mats = _lin_mats(lin_x, N, nx)
-    n_cref = 6 * (len(soc_u_mats) + len(soc_x_mats)) \
-        + 3 * (len(lin_u_mats) + len(lin_x_mats))
+    soc_u_mats, soc_x_mats, lin_u_mats, lin_x_mats, n_cref = \
+        build_constraint_mats(G, soc_u, soc_x, lin_u, lin_x, N, nx, nu)
 
     def _apply_lin(w, refs):
-        """One cyclic halfspace projection on the stacked array (per-group
-        selector matrices + bound)."""
-        SelA_r, Upd_r, b_r = refs
-        viol = jnp.maximum(_dot(SelA_r[0], w) - b_r[0, 0, 0], 0.0)
-        return w - _dot(Upd_r[0], viol)
+        return apply_lin(w, refs, _dot)
 
     def _apply_soc(w, refs):
-        """One per-stage scaled-SOC projection on the stacked array
-        (_project_soc_scaled semantics; mu is a per-group input)."""
-        SelV_r, SelS_r, ExpV_r, ExpS_r, rowmask_r, mu_r = refs
-        SelV, SelS, ExpV, ExpS, rowmask = (
-            r[...] for r in (SelV_r, SelS_r, ExpV_r, ExpS_r, rowmask_r))
-        mu = mu_r[0, 0, 0]
-        a = jnp.sqrt(_dot(SelV, w * w))          # (n_stages, Bt)
-        s = _dot(SelS, w)
-        u0 = s * mu
-        safe_a = jnp.maximum(a, jnp.float32(1e-30))
-        factor = (a + u0) / (2.0 * safe_a)
-        below = (a <= -u0).astype(jnp.float32)
-        inside = (a <= u0).astype(jnp.float32)
-        w_proj = w * _dot(ExpV, factor) + _dot(ExpS, factor * (a / mu))
-        bel_r = _dot(ExpV, below) + _dot(ExpS, below)
-        ins_r = _dot(ExpV, inside) + _dot(ExpS, inside)
-        w_cone = jnp.where(bel_r > 0.5, jnp.zeros_like(w),
-                           jnp.where(ins_r > 0.5, w, w_proj))
-        return jnp.where(rowmask > 0.5, w_cone, w)
+        return apply_soc(w, refs, _dot)
 
     def kernel(*refs):
         it = iter(refs)
@@ -489,19 +528,8 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             bound(x_min, sx), bound(x_max, sx),
             x0s.T.astype(f32),
         ]
-        cargs, cspecs = [], []
-        for (SelV, SelS, ExpV, ExpS, rowmask), mu in (*soc_u_mats,
-                                                      *soc_x_mats):
-            cargs += [jnp.asarray(m) for m in (SelV, SelS, ExpV, ExpS,
-                                               rowmask)]
-            cspecs += [shared] * 5
-            cargs.append(jnp.asarray(mu.reshape(G, 1, 1), f32))
-            cspecs.append(gspec(1, 1))
-        for SelA, Upd, b in (*lin_u_mats, *lin_x_mats):
-            cargs += [jnp.asarray(SelA, f32), jnp.asarray(Upd, f32),
-                      jnp.asarray(b.reshape(G, 1, 1), f32)]
-            cspecs += [gspec(SelA.shape[1], SelA.shape[2]),
-                       gspec(Upd.shape[1], Upd.shape[2]), gspec(1, 1)]
+        cargs, cspecs = constraint_args_specs(
+            soc_u_mats, soc_x_mats, lin_u_mats, lin_x_mats, G, gspec, shared)
         assert len(cargs) == n_cref
         args += cargs
         in_specs = ([gspec(sw, sw), gspec(sw, 1), gspec(sw, nx), gspec(sw, 1),

@@ -119,29 +119,22 @@ def taylor_update(cache: Cache, new_rho) -> Cache:
     )
 
 
-def predict_rho_termination(state: State, cache: Cache, settings: Settings,
-                            dtype):
-    """EXTENSION controller (Settings.adaptive_rho_controller="termination";
-    default "osqp" keeps reference behavior): predict rho from the solver's
-    own termination residuals (admm.cpp:93-96 values), each normalized by
-    ITS OWN tolerance:
+def termination_controller(pri, dual, rho, settings: Settings, dtype, *,
+                           rho_center=None):
+    """The residual-level EXTENSION controller shared by every path
+    (standard / condensed / fused): predict rho from the solver's own
+    termination residuals (admm.cpp:93-96 values), each normalized by ITS
+    OWN tolerance:
 
         ratio   = (pri / abs_pri_tol) / (dual / abs_dua_tol)
         new_rho = rho * sqrt(ratio)          (clipped like predict_rho)
 
-    Rationale (measured, docs/DESIGN.md §4): the reference's OSQP-form
-    controller is structurally decay-biased on regulation problems — its
-    dual residual contains cost terms that never vanish at convergence, so
-    rho only ever falls.  Normalizing each termination residual by its own
-    tolerance directly targets the termination condition: rho rises when
-    the primal check lags (mis-set-low rho) and falls when the dual check
-    lags (mis-set-high rho)."""
+    ``pri``/``dual``/``rho`` may be scalars (standard path) or per-lane
+    vectors (condensed path).  ``rho_center`` (the sensitivity/Taylor
+    expansion center) enables the Settings.adaptive_rho_taylor_trust clip —
+    the final word, protecting first-order caches from predictions outside
+    their measured validity radius."""
     eps = jnp.asarray(EPS, dtype)
-    rho = cache.rho
-    pri = jnp.maximum(jnp.max(jnp.abs(state.x - state.vnew)),
-                      jnp.max(jnp.abs(state.u - state.znew)))
-    dual = rho * jnp.maximum(jnp.max(jnp.abs(state.v - state.vnew)),
-                             jnp.max(jnp.abs(state.z - state.znew)))
     pri_tol = jnp.asarray(settings.abs_pri_tol, dtype)
     dua_tol = jnp.asarray(settings.abs_dua_tol, dtype)
     ratio = (pri / pri_tol) / (dual / dua_tol + eps)
@@ -158,14 +151,37 @@ def predict_rho_termination(state: State, cache: Cache, settings: Settings,
         new_rho = jnp.clip(new_rho,
                            jnp.asarray(settings.adaptive_rho_min, dtype),
                            jnp.asarray(settings.adaptive_rho_max, dtype))
+    if rho_center is not None:
+        trust = jnp.asarray(settings.adaptive_rho_taylor_trust, dtype)
+        new_rho = jnp.clip(new_rho, rho_center - trust, rho_center + trust)
     return new_rho
+
+
+def predict_rho_termination(state: State, cache: Cache, settings: Settings,
+                            dtype, rho_center=None):
+    """termination_controller on the standard path's State (see there for
+    semantics; rationale measured in docs/DESIGN.md §4: the reference's
+    OSQP-form controller is structurally decay-biased on regulation
+    problems — its dual residual contains cost terms that never vanish at
+    convergence, so rho only ever falls.  Normalizing each termination
+    residual by its own tolerance directly targets the termination
+    condition: rho rises when the primal check lags (mis-set-low rho) and
+    falls when the dual check lags (mis-set-high rho))."""
+    rho = cache.rho
+    pri = jnp.maximum(jnp.max(jnp.abs(state.x - state.vnew)),
+                      jnp.max(jnp.abs(state.u - state.znew)))
+    dual = rho * jnp.maximum(jnp.max(jnp.abs(state.v - state.vnew)),
+                             jnp.max(jnp.abs(state.z - state.znew)))
+    return termination_controller(pri, dual, rho, settings, dtype,
+                                  rho_center=rho_center)
 
 
 def _predicted_rho(state: State, cache: Cache, problem: Problem,
                    settings: Settings, dtype):
     """Dispatch on the controller setting (static)."""
     if settings.adaptive_rho_controller == "termination":
-        return predict_rho_termination(state, cache, settings, dtype)
+        return predict_rho_termination(state, cache, settings, dtype,
+                                       rho_center=problem.rho_setup)
     if settings.adaptive_rho_controller != "osqp":
         raise ValueError("adaptive_rho_controller must be 'osqp' or "
                          f"'termination', got "

@@ -67,6 +67,9 @@ class GroupedBatchSolver:
         self._taylor_maps = None
         self._fused_solvers = {}
         self._pipelines = {}
+        # per-group straggler-slot overflow counts of the last
+        # solve_batch(pipeline=...) call (None before any)
+        self.last_overflow = None
 
     @property
     def nx(self) -> int:
@@ -90,11 +93,23 @@ class GroupedBatchSolver:
         ``pipeline=(phase1_iters, straggler_slots, phase2_iters)`` routes the
         fused method through the two-phase straggler pipeline
         (make_fused_pipeline) — same per-lane semantics as a single fused
-        solve of phase1+phase2 iterations."""
+        solve of phase1+phase2 iterations.  Groups with more unconverged
+        lanes than ``straggler_slots`` leave the overflow in its phase-1
+        state; the per-group overflow counts of the last pipeline solve are
+        exposed as ``self.last_overflow`` (a UserWarning fires when any are
+        nonzero)."""
         x0s = jnp.asarray(np.asarray(x0s, float), self.problems.A.dtype)
         if x0s.ndim != 3 or x0s.shape[0] != self.num_groups:
             raise ValueError(
                 f"x0s must be (G={self.num_groups}, L, nx); got {x0s.shape}")
+        if (self.settings.adaptive_rho and self.settings.adaptive_rho_rebuild
+                and method != "standard"):
+            raise ValueError(
+                "adaptive_rho_rebuild on the grouped condensed/fused paths "
+                "is not supported (the Taylor maps would go stale); use "
+                "method='standard', or the bucketed rebuild pipeline "
+                "(api.TinyMPCSolver.solve_batch_rebuild_adaptive) for "
+                "shared-problem batches")
         if method == "auto":
             # per-group maps: the footprint scales with G
             from ..ops import condensed as _cnd
@@ -108,7 +123,8 @@ class GroupedBatchSolver:
             if pipeline is not None:
                 mi1, slots, mi2 = pipeline
                 # pad lanes up to a tile multiple (same padding the plain
-                # fused path applies); scatter indices drop the pad lanes
+                # fused path applies); pad lanes are masked out of straggler
+                # selection (valid_lanes) and sliced off the outputs
                 L = int(x0s.shape[1])
                 Bt = self._default_tile(L)
                 Lp = ((L + Bt - 1) // Bt) * Bt
@@ -117,8 +133,18 @@ class GroupedBatchSolver:
                                     x0s.dtype)], axis=1)
                 fn = self.make_fused_pipeline(
                     phase1_iters=mi1, straggler_slots=slots,
-                    phase2_iters=mi2, lanes=Lp, batch_tile=Bt)
-                out = tuple(o[:, :L] for o in fn(x0s_p))
+                    phase2_iters=mi2, lanes=Lp, batch_tile=Bt,
+                    valid_lanes=L)
+                *out, overflow = fn(x0s_p)
+                out = tuple(o[:, :L] for o in out)
+                self.last_overflow = np.asarray(overflow)
+                if self.last_overflow.any():
+                    import warnings
+                    warnings.warn(
+                        f"fused pipeline straggler_slots={slots} too small: "
+                        f"per-group overflow {self.last_overflow.tolist()} "
+                        "lanes kept their unconverged phase-1 state",
+                        stacklevel=2)
             else:
                 out = self._solve_fused(x0s)
         elif pipeline is not None:
@@ -217,19 +243,18 @@ class GroupedBatchSolver:
     def _adaptive_fused_kernel(self, Bt, max_iter, **extra):
         """Build (and cache) one grouped ADAPTIVE fused kernel config (the
         per-lane-rho Taylor kernel with a group grid,
-        ops/pallas/adaptive_kernel.py).  Box constraints only."""
+        ops/pallas/adaptive_kernel.py).  Full constraint stack: per-group
+        SOC/halfspace data rides the group grid exactly like the fixed-rho
+        kernel."""
         s = self.settings
         from ..ops import condensed as cnd
         from ..ops.pallas.adaptive_kernel import (
             make_condensed_adaptive_fused_solver)
         from ..types import settings_bake_key
-        if (s.en_state_soc or s.en_input_soc or s.en_state_linear
-                or s.en_input_linear):
-            raise ValueError("grouped fused adaptive-rho supports box "
-                             "constraints only; use method='condensed'")
         if self._taylor_maps is None:
             self._taylor_maps = cnd.build_condensed_taylor(self.problems,
                                                            self.caches)
+        soc_u, soc_x, lin_u, lin_x = self._fused_constraint_spec()
         interpret = jax.default_backend() != "tpu"
         key = ("adaptive", settings_bake_key(s), Bt, max_iter, interpret,
                tuple(sorted(extra.items())))
@@ -250,6 +275,9 @@ class GroupedBatchSolver:
                 adaptive_rho_max=float(s.adaptive_rho_max),
                 adaptive_rho_clipping=s.adaptive_rho_enable_clipping,
                 check_termination=s.check_termination,
+                controller=s.adaptive_rho_controller,
+                taylor_trust=float(s.adaptive_rho_taylor_trust),
+                soc_u=soc_u, soc_x=soc_x, lin_u=lin_u, lin_x=lin_x,
                 num_groups=self.num_groups, interpret=interpret, **extra)
             self._fused_solvers[key] = fn
         return fn
@@ -304,7 +332,8 @@ class GroupedBatchSolver:
     def make_fused_pipeline(self, *, phase1_iters: int = 100,
                             straggler_slots: int = 256,
                             phase2_iters: int = 300, lanes: int,
-                            batch_tile: Optional[int] = None):
+                            batch_tile: Optional[int] = None,
+                            valid_lanes: Optional[int] = None):
         """Two-phase grouped fused solve as ONE jitted device function.
 
         A VMEM-resident tile runs until its SLOWEST lane converges, so a
@@ -318,12 +347,20 @@ class GroupedBatchSolver:
         per-lane results equal a single solve of phase1+phase2 iterations
         (pinned in tests/test_grouped_fused.py).
 
-        Returns a jitted ``pipeline(x0s) -> (xs, us, iters, solved)`` over
-        (G, lanes, nx) float32 x0s with device-resident outputs in the same
-        shapes/semantics as solve_batch (iters for phase-2 lanes =
-        phase1_iters + continuation iterations).  If a group has more than
-        ``straggler_slots`` stragglers the overflow keeps its (unconverged)
-        phase-1 state.
+        Returns a jitted ``pipeline(x0s) -> (xs, us, iters, solved,
+        overflow)`` over (G, lanes, nx) float32 x0s with device-resident
+        outputs in the same shapes/semantics as solve_batch (iters for
+        phase-2 lanes = phase1_iters + continuation iterations).  If a group
+        has more than ``straggler_slots`` stragglers the overflow keeps its
+        (unconverged) phase-1 state; ``overflow`` is the per-group (G,)
+        int32 count of such lanes — nonzero means ``straggler_slots`` was
+        too small (the analog of the reference's best-so-far-on-exhaustion
+        contract, admm.cpp:202-206, made visible).
+
+        ``valid_lanes`` (default: all) marks only the first ``valid_lanes``
+        lanes of each group as real; pad lanes beyond it (tile-padding added
+        by solve_batch) are excluded from straggler selection so they cannot
+        displace real unconverged lanes from phase 2.
         """
         s = self.settings
         p = self.problems
@@ -350,8 +387,12 @@ class GroupedBatchSolver:
         if L2 % Bt2 != 0:
             raise ValueError(f"straggler_slots={L2} must be a multiple "
                              f"of {Bt2}")
+        Lv = L if valid_lanes is None else int(valid_lanes)
+        if not 0 < Lv <= L:
+            raise ValueError(f"valid_lanes={Lv} must be in (0, lanes={L}]")
         from ..types import settings_bake_key
-        pkey = (settings_bake_key(s), phase1_iters, L2, phase2_iters, L, Bt)
+        pkey = (settings_bake_key(s), phase1_iters, L2, phase2_iters, L, Bt,
+                Lv)
         cached = self._pipelines.get(pkey)
         if cached is not None:
             return cached
@@ -376,6 +417,11 @@ class GroupedBatchSolver:
             else:
                 xs1, us1, it1, ok1, carry = fn1(maps, rho, *bounds, x0s)
             unconv = (ok1 == 0).reshape(G, L)
+            if Lv < L:
+                # tile-pad lanes are not real work: never spend phase-2
+                # slots on them
+                unconv = jnp.logical_and(
+                    unconv, (jnp.arange(L) < Lv)[None, :])
             idx = jax.vmap(
                 lambda m: jnp.nonzero(m, size=L2, fill_value=0)[0])(unconv)
             gidx = (idx + jnp.arange(G)[:, None] * L).reshape(-1)
@@ -394,9 +440,10 @@ class GroupedBatchSolver:
             us = us1.at[safe].set(us2, mode="drop")
             iters = it1.at[safe].set(phase1_iters + it2, mode="drop")
             solved = ok1.at[safe].set(ok2, mode="drop")
+            overflow = jnp.maximum(counts - L2, 0).astype(jnp.int32)
             return (xs.reshape(G, L, self.N, nx),
                     us.reshape(G, L, self.N - 1, self.nu),
-                    iters.reshape(G, L), solved.reshape(G, L))
+                    iters.reshape(G, L), solved.reshape(G, L), overflow)
 
         self._pipelines[pkey] = pipeline
         return pipeline

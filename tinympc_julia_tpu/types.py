@@ -129,6 +129,14 @@ class Settings:
     abs_dua_tol: Array = 1e-3
     adaptive_rho_min: Array = 1.0
     adaptive_rho_max: Array = 100.0
+    # EXTENSION: trust-region half-width for the "termination" controller,
+    # applied as a final clip new_rho in [rho_setup - trust, rho_setup + trust]
+    # (rho_setup = the sensitivity/Taylor expansion center).  inf (default)
+    # disables the clip.  Set ~2.0 on the Taylor-based condensed/fused paths,
+    # where the measured validity radius of the first-order cache is |drho|~2
+    # (docs/DESIGN.md §4); leave inf when paired with adaptive_rho_rebuild
+    # (the exact rebuild has no expansion radius).  Traced leaf.
+    adaptive_rho_taylor_trust: Array = float("inf")
     # ADMM over-relaxation factor alpha (1.0 = reference behavior; ~1.6
     # typically cuts iterations 30-50% for the same fixed point).  Applied as
     # u_hat = alpha*u + (1-alpha)*z in the slack/dual updates.
@@ -177,6 +185,7 @@ def settings_bake_key(s: Settings) -> tuple:
     traced leaves may be jax arrays (unhashable)."""
     return (float(s.abs_pri_tol), float(s.abs_dua_tol),
             float(s.adaptive_rho_min), float(s.adaptive_rho_max),
+            float(s.adaptive_rho_taylor_trust),
             float(s.relaxation_alpha), s.max_iter, s.check_termination,
             s.en_state_bound, s.en_input_bound, s.en_state_soc,
             s.en_input_soc, s.en_state_linear, s.en_input_linear,
