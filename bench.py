@@ -281,19 +281,25 @@ def bench_quadrotor_adaptive(reps):
 
 
 def bench_misset_rho(reps):
-    """Adaptive-rho that demonstrably adapts (VERDICT r3 item 1): the
-    constrained-cartpole workload (cart position bounds, reference
-    examples/cartpole_example_reference_constrained.jl:16-18) with rho0
-    deliberately mis-set 100x low.  Three configs on the same standard
-    batched path:
+    """Adaptive-rho that demonstrably adapts AND is throughput-viable
+    (VERDICT r4 item 1): the constrained-cartpole workload (cart position
+    bounds, examples/cartpole_example_reference_constrained.jl:16-18) with
+    rho0 deliberately mis-set 100x low.  Headline config:
 
+      bucketed  — the bucketed exact-rebuild pipeline on the FUSED path
+                  (parallel/rebuild.py): phase-1 fixed-rho0 fused pass,
+                  one per-lane termination-residual rho prediction,
+                  phase-2 warm continuation on per-bucket exactly-rebuilt
+                  caches (the batched analog of re-calling
+                  tiny_precompute_and_set_cache, tiny_api.cpp:124-190)
+
+    Context configs on the standard batched path:
       fixed     — rho pinned at the mis-set rho0 (the control)
       reference — the reference's OSQP controller + Taylor update
-      adaptive  — termination-residual controller + exact on-device Riccati
-                  rebuild (Settings extensions; ops/rho.py)
-
-    The controller must RAISE rho (the measured-fatal direction for the
-    Taylor cache), so the exact rebuild is what makes adaptation viable."""
+      rebuild   — termination controller + per-update exact Riccati rebuild
+                  nested in the solve loop (the r4 capability demo; wins on
+                  convergence, ~100x too slow — the pipeline replaces it)
+    """
     import jax
     import jax.numpy as jnp
     from tinympc_julia_tpu import (Settings, init_state, make_problem,
@@ -301,6 +307,7 @@ def bench_misset_rho(reps):
     from tinympc_julia_tpu.models import cartpole
     from tinympc_julia_tpu.parallel import broadcast_state, set_x0_batch
     from tinympc_julia_tpu.parallel.batch import solve_batch
+    from tinympc_julia_tpu.parallel.rebuild import make_bucketed_rebuild
 
     dtype = jnp.float32
     N = cartpole.HORIZON
@@ -325,36 +332,61 @@ def bench_misset_rho(reps):
                  adaptive_rho_rebuild=True,
                  adaptive_rho_min=1e-4, adaptive_rho_max=1e4)
 
-    def run_cfg(s):
+    def run_cfg(s, r):
         def run():
             return solve_batch(p, c, s, st)
         _, ca, sol = run()
-        t = _median_time(run, reps, sync=lambda o: o[2].iter[:8])
+        t = _median_time(run, r, sync=lambda o: o[2].iter[:8])
         return (int(np.sum(np.asarray(sol.solved))),
                 float(np.mean(np.asarray(sol.iter))), t, np.asarray(ca.rho))
 
-    n_fix, it_fix, t_fix, _ = run_cfg(Settings(**base))
+    n_fix, it_fix, t_fix, _ = run_cfg(Settings(**base), reps)
     n_ref, it_ref, t_ref, rho_ref = run_cfg(Settings(
         adaptive_rho=True, adaptive_rho_min=1e-4, adaptive_rho_max=1e4,
-        **base))
-    n_ada, it_ada, t_ada, rho_ada = run_cfg(Settings(**adapt, **base))
+        **base), reps)
+    # the standard rebuild path is ~100x slower — keep its reps minimal
+    n_std, it_std, t_std, rho_std = run_cfg(Settings(**adapt, **base),
+                                            max(2, reps // 3))
+
+    # the throughput-viable config: bucketed rebuild on the fused path
+    s_bkt = Settings(max_iter=500, en_state_bound=True, en_input_bound=True,
+                     adaptive_rho_min=1e-4, adaptive_rho_max=1e4)
+    pipe = make_bucketed_rebuild(p, c, s_bkt, phase1_iters=50,
+                                 straggler_slots=B, phase2_iters=450,
+                                 batch_tile=min(2048, B))
+    xs, us, iters, solved, rho, overflow = (
+        np.asarray(o) for o in pipe.solve(x0s))
+    n_bkt = int(solved.sum())
+    it_bkt = float(iters.mean())
+    if overflow.any():
+        log(f"misset bucketed: straggler overflow {overflow.tolist()}")
+    t_bkt = _device_loop_time(
+        pipe.solve, x0s, lambda o: jnp.sum(o[3]).astype(jnp.float32), reps)
+
     log(f"misset-rho0 cartpole (rho0={RHO0}, B={B}): "
         f"fixed {n_fix}/{B} @ {it_fix:.0f} iters ({n_fix / t_fix:.0f} "
         f"solves/s) | reference-adaptive {n_ref}/{B} @ {it_ref:.0f} iters, "
         f"rho span [{rho_ref.min():.2g}, {rho_ref.max():.2g}] | "
-        f"rebuild-adaptive {n_ada}/{B} @ {it_ada:.0f} iters "
-        f"({n_ada / t_ada:.0f} solves/s), rho span "
-        f"[{rho_ada.min():.2g}, {rho_ada.max():.2g}]")
-    return dict(solves_per_sec=round(n_ada / t_ada, 1),
-                convergence=round(n_ada / B, 4),
-                mean_iters=round(it_ada, 1),
-                rho_span=[round(float(rho_ada.min()), 4),
-                          round(float(rho_ada.max()), 4)],
+        f"standard rebuild {n_std}/{B} @ {it_std:.0f} iters "
+        f"({n_std / t_std:.0f} solves/s), rho span "
+        f"[{rho_std.min():.2g}, {rho_std.max():.2g}] | "
+        f"BUCKETED rebuild {n_bkt}/{B} @ {it_bkt:.0f} iters "
+        f"({n_bkt / t_bkt:.0f} solves/s), rho span "
+        f"[{rho.min():.2g}, {rho.max():.2g}]")
+    return dict(solves_per_sec=round(n_bkt / t_bkt, 1),
+                convergence=round(n_bkt / B, 4),
+                mean_iters=round(it_bkt, 1),
+                rho_span=[round(float(rho.min()), 4),
+                          round(float(rho.max()), 4)],
+                buckets=[round(float(r), 6) for r in pipe.bucket_rhos],
                 fixed_control=dict(solves_per_sec=round(n_fix / t_fix, 1),
                                    convergence=round(n_fix / B, 4),
                                    mean_iters=round(it_fix, 1)),
                 reference_adaptive=dict(convergence=round(n_ref / B, 4),
                                         mean_iters=round(it_ref, 1)),
+                rebuild_standard=dict(solves_per_sec=round(n_std / t_std, 1),
+                                      convergence=round(n_std / B, 4),
+                                      mean_iters=round(it_std, 1)),
                 batch=B, rho0=RHO0)
 
 

@@ -75,6 +75,9 @@ class TinyMPCSolver:
         self._condensed_taylor_maps = None
         self._chunk_maps = None
         self._fused_solvers = {}
+        # per-bucket straggler-slot overflow of the last bucketed-rebuild
+        # solve (None before any)
+        self.last_overflow = None
 
     # -- setup --------------------------------------------------------------
 
@@ -474,6 +477,70 @@ class TinyMPCSolver:
         if return_carry:
             return res + (BatchWarmCarry(method=method, batch=B, data=carry),)
         return res
+
+    def solve_batch_rebuild_adaptive(self, x0s, *, bucket_rhos=None,
+                                     phase1_iters=50, straggler_slots=None,
+                                     phase2_iters=500, verbose=False):
+        """Batched solves with EXACT adaptive-rho on the fused fast path:
+        the bucketed rebuild pipeline (parallel/rebuild.py) — the
+        throughput-viable form of the ``adaptive_rho_rebuild`` +
+        ``adaptive_rho_controller="termination"`` extension pair, rescuing
+        workloads whose setup rho is mis-set by orders of magnitude at
+        fused-kernel solve rates.
+
+        Uses the solver's Settings for tolerances / constraint flags /
+        check_termination, and [adaptive_rho_min, adaptive_rho_max] as the
+        bucket span (pass ``bucket_rhos`` to override the log-spaced
+        default).  ``straggler_slots`` (per bucket; default: the padded
+        batch size) bounds phase-2 capacity — lanes overflowing a bucket
+        keep their unconverged phase-1 state and are counted in
+        ``self.last_overflow``.
+
+        Returns (states (B, N, nx), controls (B, N-1, nu), iters (B,),
+        solved (B,), rho (B,)) as numpy arrays."""
+        self._require_setup()
+        from .parallel.rebuild import make_bucketed_rebuild
+        x0s = jnp.asarray(np.asarray(x0s, float), jnp.float32)
+        B = int(x0s.shape[0])
+        interpret = jax.default_backend() != "tpu"
+        floor = 128 if not interpret else 8
+        p = self.problem
+        big = (p.nx * p.N + p.nu * (p.N - 1)) > 200
+        Bt = 512 if big else 2048
+        while Bt > B and Bt > floor:
+            Bt //= 2
+        Bp = ((B + Bt - 1) // Bt) * Bt
+        if straggler_slots is None:
+            straggler_slots = Bp
+        key = ("rebuild", T.settings_bake_key(self.settings),
+               None if bucket_rhos is None else tuple(bucket_rhos),
+               phase1_iters, int(straggler_slots), phase2_iters, Bt)
+        pipe = self._fused_solvers.get(key)
+        if pipe is None:
+            pipe = make_bucketed_rebuild(
+                self.problem, self.cache, self.settings,
+                bucket_rhos=bucket_rhos, phase1_iters=phase1_iters,
+                straggler_slots=int(straggler_slots),
+                phase2_iters=phase2_iters, batch_tile=Bt,
+                interpret=interpret)
+            self._fused_solvers[key] = pipe
+        x0s_p = x0s if Bp == B else jnp.concatenate(
+            [x0s, jnp.zeros((Bp - B, p.nx), x0s.dtype)], axis=0)
+        mask = None if Bp == B else jnp.arange(Bp) < B
+        xs, us, iters, solved, rho, overflow = pipe.solve(x0s_p, mask)
+        self.last_overflow = np.asarray(overflow)
+        if verbose or self.last_overflow.any():
+            msg = (f"bucketed rebuild: buckets {pipe.bucket_rhos}, overflow "
+                   f"{self.last_overflow.tolist()}")
+            if self.last_overflow.any():
+                import warnings
+                warnings.warn("straggler_slots too small: " + msg,
+                              stacklevel=2)
+            elif verbose:
+                print(msg)
+        return (np.asarray(xs)[:B], np.asarray(us)[:B],
+                np.asarray(iters)[:B], np.asarray(solved)[:B],
+                np.asarray(rho)[:B])
 
     def _get_chunk_maps(self):
         """Build (and cache) the chunked-horizon maps
