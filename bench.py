@@ -205,15 +205,17 @@ def bench_quadrotor_adaptive(reps):
     /root/reference/examples/quadrotor_hover_codegen.jl:19-58), two-phase
     straggler pipeline in one dispatch.
 
-    adaptive_rho_min == rho0 (5.0): on state-dominant box problems the
-    reference's OSQP-residual controller saturates at normalized_pri == 1,
-    normalized_dual == 2 exactly (rho_benchmark.cpp:146-197 — the rollout
-    satisfies dynamics exactly and v == x with state bounds off), so rho
-    decays by sqrt(1/2) every 5 iterations to whatever floor is set; at a
-    floor far below rho0 the first-order Taylor cache is inconsistent
-    enough to plateau the primal residual above tolerance.  Clipping at
-    rho0 is the measured-best legitimate setting; see docs/DESIGN.md
-    "Adaptive-rho convergence" for the full investigation."""
+    Controller: the in-kernel TERMINATION controller with the Taylor trust
+    clip (rho0 +- 2).  Measured r5 (docs/DESIGN.md §4): with rho0 well-set,
+    per-lane adaptation is structurally neutral (iteration counts are flat
+    across ~3 decades of rho), so rho moves only within the deadband/trust
+    window and convergence matches the fixed-rho path — but the
+    termination predictor needs NO stacked OSQP residual maps (5 fewer
+    matmuls per update slot), measuring ~10% faster than the reference
+    OSQP controller at identical convergence.  This row is therefore the
+    honest "per-lane rho-prediction overhead" measurement; the rows where
+    adaptation WINS are the mis-set-rho0 bucketed-rebuild configs
+    (misset_rho_adaptive / misset_rho_quadrotor)."""
     import jax
     import jax.numpy as jnp
     from tinympc_julia_tpu import make_problem, precompute_cache
@@ -236,7 +238,8 @@ def bench_quadrotor_adaptive(reps):
                          jnp.asarray(quadrotor.RHO, dtype))
     tmaps = build_condensed_taylor(p, c)
     kw = dict(en_input_bound=True, en_state_bound=False,
-              adaptive_rho_min=5.0, adaptive_rho_max=100.0)
+              controller="termination", taylor_trust=2.0,
+              adaptive_rho_min=1e-3, adaptive_rho_max=1e3)
     mk = lambda **k: make_condensed_adaptive_fused_solver(  # noqa: E731
         np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
         np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
@@ -277,7 +280,10 @@ def bench_quadrotor_adaptive(reps):
         f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s")
     return dict(solves_per_sec=round(n_conv / t, 1),
                 iters_per_sec=round(total_iters / t, 1),
-                convergence=round(n_conv / B, 4), batch=B)
+                convergence=round(n_conv / B, 4),
+                rho_span=[round(float(rho_all.min()), 4),
+                          round(float(rho_all.max()), 4)],
+                controller="termination", batch=B)
 
 
 def bench_misset_rho(reps):
@@ -387,6 +393,72 @@ def bench_misset_rho(reps):
                 rebuild_standard=dict(solves_per_sec=round(n_std / t_std, 1),
                                       convergence=round(n_std / B, 4),
                                       mean_iters=round(it_std, 1)),
+                batch=B, rho0=RHO0)
+
+
+def bench_misset_rho_quadrotor(reps):
+    """The bucketed rebuild pipeline on the quadrotor (generalization of
+    the misset row beyond cartpole): rho0 mis-set 100x low (0.05 vs the
+    example's 5.0), box input bounds."""
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import Settings, make_problem, precompute_cache
+    from tinympc_julia_tpu.models import quadrotor
+    from tinympc_julia_tpu.ops.condensed import build_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+    from tinympc_julia_tpu.parallel.rebuild import make_bucketed_rebuild
+
+    dtype = jnp.float32
+    N = quadrotor.HORIZON
+    B = 1024 if QUICK else 4096
+    RHO0 = 0.05
+    ub = quadrotor.U_HOVER_BOUND
+    p = make_problem(jnp.asarray(quadrotor.A, dtype),
+                     jnp.asarray(quadrotor.B, dtype),
+                     jnp.asarray(np.diag(quadrotor.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(quadrotor.R_DIAG), dtype),
+                     RHO0, N, u_min=-ub, u_max=ub)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(RHO0, dtype))
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 12)), dtype)
+
+    # fixed-rho0 control on the same fused path
+    maps = build_condensed(p, c)
+    fnf = make_condensed_fused_solver(12, 4, N, batch_tile=512, max_iter=500,
+                                      en_input_bound=True,
+                                      en_state_bound=False)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+    _, _, itf, okf = fnf(maps, c.rho, *bounds, x0s)
+    n_fix = int(np.asarray(okf).sum())
+    t_fix = _device_loop_time(
+        lambda x: fnf(maps, c.rho, *bounds, x), x0s,
+        lambda o: jnp.sum(o[3]).astype(jnp.float32), reps)
+
+    s_bkt = Settings(max_iter=500, en_state_bound=False, en_input_bound=True,
+                     adaptive_rho_min=1e-3, adaptive_rho_max=1e3)
+    pipe = make_bucketed_rebuild(p, c, s_bkt, phase1_iters=50,
+                                 straggler_slots=B, phase2_iters=450,
+                                 batch_tile=512)
+    _, _, iters, solved, rho, overflow = (
+        np.asarray(o) for o in pipe.solve(x0s))
+    n_bkt = int(solved.sum())
+    if overflow.any():
+        log(f"quad misset: straggler overflow {overflow.tolist()}")
+    t_bkt = _device_loop_time(
+        pipe.solve, x0s, lambda o: jnp.sum(o[3]).astype(jnp.float32), reps)
+    log(f"misset-rho0 quadrotor (rho0={RHO0}, B={B}): "
+        f"fixed {n_fix}/{B} @ {np.asarray(itf).mean():.0f} iters "
+        f"({n_fix / t_fix:.0f} solves/s) | BUCKETED rebuild {n_bkt}/{B} @ "
+        f"{iters.mean():.0f} iters ({n_bkt / t_bkt:.0f} solves/s), rho span "
+        f"[{rho.min():.2g}, {rho.max():.2g}]")
+    return dict(solves_per_sec=round(n_bkt / t_bkt, 1),
+                convergence=round(n_bkt / B, 4),
+                mean_iters=round(float(iters.mean()), 1),
+                rho_span=[round(float(rho.min()), 4),
+                          round(float(rho.max()), 4)],
+                fixed_control=dict(solves_per_sec=round(n_fix / t_fix, 1),
+                                   convergence=round(n_fix / B, 4)),
                 batch=B, rho0=RHO0)
 
 
@@ -633,6 +705,8 @@ def main():
     if not MESH:  # extras measure single-chip configs
         extra["quadrotor_adaptive"] = bench_quadrotor_adaptive(reps_extra)
         extra["misset_rho_adaptive"] = bench_misset_rho(reps_extra)
+        extra["misset_rho_quadrotor"] = bench_misset_rho_quadrotor(
+            reps_extra)
         extra["rocket_soc"] = bench_rocket(reps_extra)
         extra["rocket_pergroup_cone_sweep"] = bench_rocket_sweep(reps_extra)
         extra["mpc_loop_fused"] = bench_mpc_loop(reps_extra)
