@@ -112,8 +112,16 @@ def straggler_mask(unconv, slots_per_shard, n_dev):
 
 
 def bench_cartpole(reps):
-    """Headline: fresh cartpole solves, two-phase straggler pipeline in one
-    dispatch (BASELINE.md config 1/2 plant; examples/cartpole_example_one_solve.jl:11-23)."""
+    """Headline: fresh cartpole solves, three-phase precision-staged
+    straggler pipeline in one dispatch (BASELINE.md config 1/2 plant;
+    examples/cartpole_example_one_solve.jl:11-23).
+
+    Phase 0 runs in one-pass bf16 matmuls (Precision.DEFAULT): bf16 noise
+    stalls ADMM at ~1e-2, but driving iterates into that ball costs 1/6th
+    the MXU passes of HIGHEST — then phase 1 polishes warm at HIGHEST and
+    phase 2 continues compacted stragglers.  Measured +14% over the
+    all-HIGHEST two-phase r4 config at equal 100% convergence
+    (tools/ab_precision.py; docs/DESIGN.md §5)."""
     import jax
     import jax.numpy as jnp
     from tinympc_julia_tpu import make_problem, precompute_cache
@@ -142,11 +150,14 @@ def bench_cartpole(reps):
 
     kw = dict(en_input_bound=True, en_state_bound=False,
               relaxation_alpha=ALPHA, check_termination=4)
-    # phase-1 budget 76: measured-best at 100% convergence
-    # (tools/sweep_phase_budget.py — 48 overflows the straggler slots,
-    # 100+ wastes bulk iterations on converged lanes; docs/DESIGN.md §5)
-    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=76,
-                                      carry_out=True, **kw)
+    # budgets 48bf16 + 40H + 324H: measured-best at 100% convergence
+    # (tools/ab_precision.py r5 sweep; docs/DESIGN.md §5)
+    fn0 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=48,
+                                      carry_out=True,
+                                      precision=jax.lax.Precision.DEFAULT,
+                                      **kw)
+    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=40,
+                                      warm_start=True, carry_out=True, **kw)
     fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=min(1024, B2s),
                                       max_iter=324, warm_start=True, **kw)
 
@@ -155,11 +166,13 @@ def bench_cartpole(reps):
     bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
     def _pipeline(x0s):
-        """Two-phase fused solve as ONE dispatch: bulk pass, compact the
-        stragglers, CONTINUE them warm from their phase-1 carry (exact
-        continuation — no re-solving).  Under shard_map each shard compacts
-        its own stragglers into B2s slots."""
-        _, _, it1, ok1, carry = fn1(maps, c.rho, *bounds, x0s)
+        """Three-phase fused solve as ONE dispatch: bf16 bulk pass, warm
+        HIGHEST polish, then compact the stragglers and CONTINUE them warm
+        from their carry (exact continuation — no re-solving).  Under
+        shard_map each shard compacts its own stragglers into B2s slots."""
+        _, _, it0, ok0, carry0 = fn0(maps, c.rho, *bounds, x0s)
+        _, _, it1, ok1p, carry = fn1(maps, c.rho, *bounds, x0s, carry0)
+        ok1 = jnp.maximum(ok0, ok1p)
         unconv = ok1 == 0
         idx = jnp.nonzero(unconv, size=B2s, fill_value=0)[0]
         warm = tuple(w[:, idx] for w in carry)
@@ -187,7 +200,8 @@ def bench_cartpole(reps):
     mask2 = straggler_mask(unconv, B2s, n_dev)
     n2 = int(np.sum(np.asarray(ok2)[mask2]))
     n_conv = n1 + n2
-    total_iters = float(np.sum(np.asarray(it1))
+    # phase-0 runs its full bf16 budget on every lane (counted as work)
+    total_iters = float(48 * B + np.sum(np.asarray(it1))
                         + np.sum(np.asarray(it2)[mask2]))
     t = _device_loop_time(
         pipeline, x0s,
