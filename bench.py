@@ -603,6 +603,100 @@ def bench_rocket_sweep(reps):
                 convergence=round(n_conv / (G * L), 4), groups=G, lanes=L)
 
 
+def bench_latency(reps):
+    """Small-batch/latency boundary (VERDICT r4 item 5): time-to-solution
+    of a single warm dispatch at B=1/64/1024/8192 cartpole solves, vs the
+    native C runtime's single-solve time on this host — the reference's
+    actual unit of work (examples/cartpole_example_one_solve.jl:22-32).
+
+    Two numbers per batch size: ``wall`` is what a host-driven caller sees
+    through the axon tunnel (~10-25 ms dispatch floor dominates small B);
+    ``device`` is the on-chip time (device-loop protocol) — the number
+    that matters when the caller IS on-device (fused MPC loop, or a
+    locally-attached TPU)."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from tinympc_julia_tpu import make_problem, precompute_cache
+    from tinympc_julia_tpu.models import cartpole
+    from tinympc_julia_tpu.ops.condensed import build_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = cartpole.HORIZON
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     cartpole.RHO, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(cartpole.RHO, dtype))
+    maps = build_condensed(p, c)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+    rng = np.random.default_rng(0)
+    kw = dict(en_input_bound=True, en_state_bound=False,
+              relaxation_alpha=1.7, check_termination=4)
+
+    rows = {}
+    for B in (1, 64, 1024) + (() if QUICK else (8192,)):
+        Bt = 128 if jax.default_backend() == "tpu" else 8
+        while Bt < min(B, 2048):
+            Bt *= 2
+        fn = make_condensed_fused_solver(4, 1, N, batch_tile=min(Bt, 2048),
+                                         max_iter=400, **kw)
+        x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+        Bp = max(Bt, ((B + Bt - 1) // Bt) * Bt)
+        x0s_p = x0s if Bp == B else jnp.concatenate(
+            [x0s, jnp.zeros((Bp - B, 4), dtype)], axis=0)
+
+        def run(x=x0s_p, f=fn):
+            return f(maps, c.rho, *bounds, x)
+
+        _, _, iters, ok = run()
+        n_conv = int(np.asarray(ok)[:B].sum())
+        t_wall = _median_time(run, reps, sync=lambda o: o[3][:1])
+        t_dev = _device_loop_time(
+            run, x0s_p, lambda o: jnp.sum(o[3]).astype(jnp.float32), reps)
+        rows[str(B)] = dict(
+            wall_us_per_batch=round(t_wall * 1e6, 1),
+            device_us_per_batch=round(t_dev * 1e6, 1),
+            device_us_per_solve=round(t_dev * 1e6 / B, 3),
+            convergence=round(n_conv / B, 4))
+        log(f"latency B={B}: wall {t_wall * 1e3:.2f} ms, device "
+            f"{t_dev * 1e6:.0f} us ({t_dev * 1e6 / B:.2f} us/solve), "
+            f"{n_conv}/{B} conv")
+
+    # native C runtime: the honest embedded baseline for B=1
+    native_row = None
+    try:
+        from tinympc_julia_tpu.native import NativeSolver
+        ns = NativeSolver()
+        ns.setup(np.asarray(cartpole.A), np.asarray(cartpole.B), None,
+                 np.diag(cartpole.Q_DIAG), np.diag(cartpole.R_DIAG),
+                 cartpole.RHO, 4, 1, N)
+        ns.update_settings(max_iter=400, check_termination=4)
+        ns.set_bound_constraints(np.full((4, N), -1e17), np.full((4, N), 1e17),
+                                 np.full((1, N - 1), -5.0),
+                                 np.full((1, N - 1), 5.0))
+        x0s_h = rng.uniform(-0.5, 0.5, size=(64, 4))
+        ns.set_x0(x0s_h[0])
+        ns.solve()  # warm the code path
+        t0 = _time.perf_counter()
+        n_ok = 0
+        for i in range(64):
+            ns.set_x0(x0s_h[i])
+            n_ok += int(ns.solve() == 0)
+        t_native = (_time.perf_counter() - t0) / 64
+        native_row = dict(us_per_solve=round(t_native * 1e6, 2),
+                          convergence=round(n_ok / 64, 4))
+        log(f"latency native C (host): {t_native * 1e6:.1f} us/solve "
+            f"({n_ok}/64 conv)")
+        ns.cleanup()
+    except Exception as e:  # native lib unavailable on this host
+        log(f"latency: native runtime skipped ({e})")
+    return dict(batches=rows, native_host=native_row)
+
+
 def bench_mpc_loop(reps):
     """Closed-loop MPC steps/s: the all-Pallas fused loop (warm-carry
     chained), cartpole plant (BASELINE config 2;
@@ -723,6 +817,7 @@ def main():
             reps_extra)
         extra["rocket_soc"] = bench_rocket(reps_extra)
         extra["rocket_pergroup_cone_sweep"] = bench_rocket_sweep(reps_extra)
+        extra["latency"] = bench_latency(reps_extra)
         extra["mpc_loop_fused"] = bench_mpc_loop(reps_extra)
         extra["randomized_quadrotor_sweep"] = bench_randomized_sweep(
             reps_extra)
