@@ -42,3 +42,6 @@ def test_two_process_sharded_solve_parity():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid}/2: OK" in out, out
+        # leg 2: the shard_map-over-Pallas straggler pipeline across the
+        # process boundary (bitwise per-shard parity asserted in-worker)
+        assert f"worker {pid}/2: pipeline OK" in out, out
