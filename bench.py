@@ -507,18 +507,31 @@ def bench_rocket(reps):
                   Uref=jnp.asarray(Uref.T, dtype))
     c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(rocket.RHO, dtype))
     maps = build_condensed(p, c)
-    fn = make_condensed_fused_solver(
-        6, 3, N, batch_tile=2048, max_iter=100, abs_pri_tol=2e-3,
-        abs_dua_tol=1e-3, en_input_bound=True, en_state_bound=True,
-        check_termination=1,
-        soc_u=((0, 3, rocket.MU_INPUT),), soc_x=((0, 3, rocket.MU_STATE),))
+    # precision-staged: 24 bf16 iterations then a warm HIGHEST finish
+    # (measured +14% at 100% convergence, docs/DESIGN.md §5); tile 1024 —
+    # the carry/warm kernels overflow scoped VMEM at 2048 on this shape
+    kw = dict(abs_pri_tol=2e-3, abs_dua_tol=1e-3, en_input_bound=True,
+              en_state_bound=True, check_termination=1,
+              soc_u=((0, 3, rocket.MU_INPUT),),
+              soc_x=((0, 3, rocket.MU_STATE),))
+    fn0 = make_condensed_fused_solver(6, 3, N, batch_tile=1024, max_iter=24,
+                                      carry_out=True,
+                                      precision=jax.lax.Precision.DEFAULT,
+                                      **kw)
+    fn1 = make_condensed_fused_solver(6, 3, N, batch_tile=1024, max_iter=48,
+                                      warm_start=True, **kw)
 
     rng = np.random.default_rng(2)
     x0s = jnp.asarray(rocket.X_INIT[None, :]
                       * rng.uniform(0.9, 1.1, size=(B, 1)), dtype)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
+    @jax.jit
     def run(x0s):
-        return fn(maps, c.rho, p.u_min, p.u_max, p.x_min, p.x_max, x0s)
+        _, _, it0, ok0, carry = fn0(maps, c.rho, *bounds, x0s)
+        xs, us, it1, ok1 = fn1(maps, c.rho, *bounds, x0s, carry)
+        return xs, us, jnp.where(ok0 == 1, it0, 24 + it1), \
+            jnp.maximum(ok0, ok1)
 
     _, _, iters, solved = run(x0s)
     n_conv = int(np.sum(np.asarray(solved)))
@@ -583,8 +596,12 @@ def bench_rocket_sweep(reps):
         rocket.X_INIT[None, None, :] * rng.uniform(0.9, 1.1, size=(G, L, 1)),
         dtype)
     # batch_tile 1024: at 2048 the carry_out phase-1 kernel's stacked
-    # intermediates overflow the ~16 MiB scoped-VMEM stack for this shape
-    pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
+    # intermediates overflow the ~16 MiB scoped-VMEM stack for this shape.
+    # Precision staging (24 bf16 + 48 HIGHEST): measured +18% at 100%
+    # convergence; shorter HIGHEST tails (16-24) collapse convergence on
+    # this SOC-heavy shape (docs/DESIGN.md §5)
+    pipe = gs.make_fused_pipeline(phase0_bf16_iters=24, phase1_iters=48,
+                                  straggler_slots=256,
                                   phase2_iters=400, lanes=L,
                                   batch_tile=min(1024, L))
 
@@ -775,8 +792,10 @@ def bench_randomized_sweep(reps):
     # slowest lane converges; measured ~4% useful iterations single-phase),
     # timed on-device like every other config (solve_batch's numpy
     # conversion would move ~80 MB of trajectories through the remote
-    # tunnel per rep)
-    pipe = gs.make_fused_pipeline(phase1_iters=100, straggler_slots=256,
+    # tunnel per rep).  Precision staging (128 bf16 + 32 HIGHEST):
+    # measured +34% at 100% convergence (docs/DESIGN.md §5)
+    pipe = gs.make_fused_pipeline(phase0_bf16_iters=128, phase1_iters=32,
+                                  straggler_slots=256,
                                   phase2_iters=1500, lanes=L)
 
     _, _, iters, solved, overflow = (np.asarray(o) for o in pipe(x0s))

@@ -428,3 +428,44 @@ class TestGroupedAdaptiveConstraints:
         assert sv_f.sum() == G * L
         np.testing.assert_allclose(us_c, us_f, atol=2e-4)
         np.testing.assert_allclose(xs_c, xs_f, atol=2e-4)
+
+
+class TestPrecisionStagedPipeline:
+    def test_bf16_phase0_keeps_quality(self):
+        """phase0_bf16_iters is a perf configuration: convergence and
+        solution quality (vs the unstaged pipeline) are preserved — the
+        termination check always evaluates true residuals at tolerance.
+        (On CPU interpret mode DEFAULT precision is still f32, so this
+        pins plumbing + iteration accounting, not the bf16 numerics —
+        those are measured on chip, docs/DESIGN.md §5.)"""
+        G, L = 2, 16
+        probs, caches = _groups(quadrotor, G, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=31)
+        rng = np.random.default_rng(32)
+        x0s = np.asarray(rng.uniform(-0.25, 0.25, size=(G, L, 12)),
+                         np.float32)
+        s = Settings(max_iter=150, en_state_bound=False, en_input_bound=True)
+        gs = GroupedBatchSolver(probs, caches, s)
+        plain = gs.make_fused_pipeline(phase1_iters=50, straggler_slots=8,
+                                       phase2_iters=100, lanes=L)
+        staged = gs.make_fused_pipeline(phase0_bf16_iters=20,
+                                        phase1_iters=30, straggler_slots=8,
+                                        phase2_iters=100, lanes=L)
+        xs_a, us_a, it_a, sv_a, ov_a = (np.asarray(o) for o in plain(x0s))
+        xs_b, us_b, it_b, sv_b, ov_b = (np.asarray(o) for o in staged(x0s))
+        assert sv_b.sum() >= sv_a.sum()
+        # same total budget before phase 2 -> same phase-2 population and,
+        # on CPU (DEFAULT == f32), identical iteration accounting
+        np.testing.assert_array_equal(it_a, it_b)
+        np.testing.assert_allclose(us_a, us_b, atol=1e-5)
+
+    def test_bf16_phase0_rejects_adaptive(self):
+        probs, caches = _groups(quadrotor, 2, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=31)
+        s = Settings(max_iter=150, en_state_bound=False, en_input_bound=True,
+                     adaptive_rho=True)
+        gs = GroupedBatchSolver(probs, caches, s)
+        with pytest.raises(ValueError, match="fixed-rho only"):
+            gs.make_fused_pipeline(phase0_bf16_iters=20, phase1_iters=30,
+                                   straggler_slots=8, phase2_iters=100,
+                                   lanes=16)

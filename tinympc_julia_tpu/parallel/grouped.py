@@ -333,7 +333,8 @@ class GroupedBatchSolver:
                             straggler_slots: int = 256,
                             phase2_iters: int = 300, lanes: int,
                             batch_tile: Optional[int] = None,
-                            valid_lanes: Optional[int] = None):
+                            valid_lanes: Optional[int] = None,
+                            phase0_bf16_iters: int = 0):
         """Two-phase grouped fused solve as ONE jitted device function.
 
         A VMEM-resident tile runs until its SLOWEST lane converges, so a
@@ -361,6 +362,17 @@ class GroupedBatchSolver:
         lanes of each group as real; pad lanes beyond it (tile-padding added
         by solve_batch) are excluded from straggler selection so they cannot
         displace real unconverged lanes from phase 2.
+
+        ``phase0_bf16_iters`` (fixed-rho pipelines only) prepends a
+        precision-staged bulk phase running that many iterations with
+        one-pass bf16 matmuls (Precision.DEFAULT) before the HIGHEST
+        phases — bf16 noise stalls ADMM at ~1e-2, but driving iterates
+        into that ball costs 1/6th the MXU passes (measured +14% on the
+        headline pipeline, docs/DESIGN.md §5).  A perf configuration: the
+        exact-continuation equivalence to a single long HIGHEST solve no
+        longer holds bit-for-bit (solution QUALITY is unchanged — the
+        termination check always evaluates true 1e-3 residuals on the
+        actual iterates).
         """
         s = self.settings
         p = self.problems
@@ -390,9 +402,16 @@ class GroupedBatchSolver:
         Lv = L if valid_lanes is None else int(valid_lanes)
         if not 0 < Lv <= L:
             raise ValueError(f"valid_lanes={Lv} must be in (0, lanes={L}]")
+        k0 = int(phase0_bf16_iters)
+        if k0 and s.adaptive_rho:
+            raise ValueError("phase0_bf16_iters is fixed-rho only (the rho "
+                             "prediction would read bf16-noise residuals)")
+        if k0 % ct != 0:
+            raise ValueError(f"phase0_bf16_iters={k0} must be a multiple of "
+                             f"check_termination={ct}")
         from ..types import settings_bake_key
         pkey = (settings_bake_key(s), phase1_iters, L2, phase2_iters, L, Bt,
-                Lv)
+                Lv, k0)
         cached = self._pipelines.get(pkey)
         if cached is not None:
             return cached
@@ -404,7 +423,14 @@ class GroupedBatchSolver:
                                               warm_start=True)
             tmaps = self._taylor_maps
         else:
-            fn1 = self._fused_kernel(Bt, phase1_iters, carry_out=True)
+            if k0:
+                fn0 = self._fused_kernel(
+                    Bt, k0, carry_out=True,
+                    precision=jax.lax.Precision.DEFAULT)
+                fn1 = self._fused_kernel(Bt, phase1_iters, warm_start=True,
+                                         carry_out=True)
+            else:
+                fn1 = self._fused_kernel(Bt, phase1_iters, carry_out=True)
             fn2 = self._fused_kernel(Bt2, phase2_iters, warm_start=True)
             maps, rho = self._maps, self.caches.rho
         bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
@@ -414,6 +440,16 @@ class GroupedBatchSolver:
             x0s = x0s.astype(jnp.float32)
             if adaptive:
                 xs1, us1, it1, ok1, _rho1, carry = fn1(tmaps, *bounds, x0s)
+            elif k0:
+                xs0, us0, it0, ok0, carry0 = fn0(maps, rho, *bounds, x0s)
+                xs1, us1, it1, ok1, carry = fn1(maps, rho, *bounds, x0s,
+                                                carry0)
+                # lanes that passed the (true-residual) check in the bf16
+                # phase latched genuinely-converged iterates there
+                xs1 = jnp.where((ok0 == 1)[:, None, None], xs0, xs1)
+                us1 = jnp.where((ok0 == 1)[:, None, None], us0, us1)
+                it1 = jnp.where(ok0 == 1, it0, k0 + it1)
+                ok1 = jnp.maximum(ok0, ok1)
             else:
                 xs1, us1, it1, ok1, carry = fn1(maps, rho, *bounds, x0s)
             unconv = (ok1 == 0).reshape(G, L)
@@ -438,7 +474,7 @@ class GroupedBatchSolver:
             safe = jnp.where(valid, gidx, G * L)
             xs = xs1.at[safe].set(xs2, mode="drop")
             us = us1.at[safe].set(us2, mode="drop")
-            iters = it1.at[safe].set(phase1_iters + it2, mode="drop")
+            iters = it1.at[safe].set(k0 + phase1_iters + it2, mode="drop")
             solved = ok1.at[safe].set(ok2, mode="drop")
             overflow = jnp.maximum(counts - L2, 0).astype(jnp.int32)
             return (xs.reshape(G, L, self.N, nx),
