@@ -157,6 +157,27 @@ class TestBucketedRebuild:
         assert overflowed.sum() == ov_s.sum()
         np.testing.assert_allclose(rho_s[overflowed], RHO0, rtol=1e-6)
 
+    def test_precision_staging_plumbing(self):
+        """phase1_bf16 / phase2_bf16_iters wire through (on CPU DEFAULT
+        precision == f32, so results match the unstaged pipeline; the bf16
+        numerics are a chip-measured perf story, docs/DESIGN.md §5)."""
+        B = 16
+        p, c, x0s = _misset_problem(B, seed=13)
+        s = Settings(max_iter=500, en_state_bound=True, en_input_bound=True,
+                     adaptive_rho_min=1e-4, adaptive_rho_max=1e4)
+        plain = make_bucketed_rebuild(p, c, s, phase1_iters=50,
+                                      straggler_slots=B, phase2_iters=200,
+                                      batch_tile=8)
+        staged = make_bucketed_rebuild(p, c, s, phase1_iters=50,
+                                       straggler_slots=B, phase2_iters=160,
+                                       batch_tile=8, phase1_bf16=True,
+                                       phase2_bf16_iters=40)
+        out_a = [np.asarray(o) for o in plain.solve(x0s)]
+        out_b = [np.asarray(o) for o in staged.solve(x0s)]
+        np.testing.assert_array_equal(out_a[3], out_b[3])  # solved
+        np.testing.assert_array_equal(out_a[2], out_b[2])  # iters
+        np.testing.assert_allclose(out_a[1], out_b[1], atol=1e-6)
+
     def test_lane_mask_excludes_pad_lanes(self):
         B = 16
         p, c, x0s = _misset_problem(B, seed=9)

@@ -159,6 +159,8 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
                           straggler_slots: int = 512,
                           phase2_iters: int = 500,
                           batch_tile: Optional[int] = None,
+                          phase1_bf16: bool = False,
+                          phase2_bf16_iters: int = 0,
                           interpret: Optional[bool] = None
                           ) -> BucketedRebuildPipeline:
     """Build the bucketed rebuild-adaptive pipeline (module docstring).
@@ -179,7 +181,18 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
     lane finished on (rho0 where phase 1 already converged) and
     ``overflow[g]`` counts lanes predicted into bucket g that did not fit
     its ``straggler_slots`` (they keep their unconverged phase-1 state —
-    the reference's best-so-far contract, admm.cpp:202-206)."""
+    the reference's best-so-far contract, admm.cpp:202-206).
+
+    Precision staging (perf options): ``phase1_bf16`` runs phase 1 with
+    one-pass bf16 matmuls — phase 1 at a mis-set rho0 exists to SHAPE the
+    prediction residuals, not to converge, and the residuals feeding the
+    controller are O(1e-1..1) where bf16's ~1e-2 iterate noise is
+    irrelevant; ``phase2_bf16_iters`` prepends that many bf16 iterations
+    to the per-bucket continuation before its HIGHEST finish.  Measured
+    NEUTRAL on the B=4096 misset workload (within the run-to-run noise
+    band: this pipeline's time is dominated by tile early-exit dynamics
+    and the per-bucket slot grid, not MXU pass count — docs/DESIGN.md §5);
+    kept for larger batches where the matmul share grows."""
     from ..ops.pallas.condensed_kernel import (FusedCarry,
                                                make_condensed_fused_solver)
 
@@ -240,9 +253,19 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
               lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
                      if s.en_state_linear else None),
               interpret=interpret)
-    fn1 = make_condensed_fused_solver(nx, nu, N, batch_tile=Bt,
-                                      max_iter=phase1_iters, carry_out=True,
-                                      **kw)
+    k2 = int(phase2_bf16_iters)
+    if k2 % ct != 0:
+        raise ValueError(f"phase2_bf16_iters={k2} must be a multiple of "
+                         f"check_termination={ct}")
+    fn1 = make_condensed_fused_solver(
+        nx, nu, N, batch_tile=Bt, max_iter=phase1_iters, carry_out=True,
+        precision=(jax.lax.Precision.DEFAULT if phase1_bf16
+                   else jax.lax.Precision.HIGHEST), **kw)
+    if k2:
+        fn2a = make_condensed_fused_solver(
+            nx, nu, N, batch_tile=Bt2, max_iter=k2, warm_start=True,
+            carry_out=True, num_groups=G,
+            precision=jax.lax.Precision.DEFAULT, **kw)
     fn2 = make_condensed_fused_solver(nx, nu, N, batch_tile=Bt2,
                                       max_iter=phase2_iters,
                                       warm_start=True, num_groups=G, **kw)
@@ -278,7 +301,16 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
 
         warm = FusedCarry(*(gather(w) for w in carry))
         x0s2 = jnp.where(valid[:, None], x0s[gidx], 0.0)
-        xs2, us2, it2, ok2 = fn2(bmaps, brho, *bounds, x0s2, warm)
+        if k2:
+            xs2a, us2a, it2a, ok2a, warm = fn2a(bmaps, brho, *bounds, x0s2,
+                                                warm)
+            xs2, us2, it2b, ok2b = fn2(bmaps, brho, *bounds, x0s2, warm)
+            xs2 = jnp.where((ok2a == 1)[:, None, None], xs2a, xs2)
+            us2 = jnp.where((ok2a == 1)[:, None, None], us2a, us2)
+            it2 = jnp.where(ok2a == 1, it2a, k2 + it2b)
+            ok2 = jnp.maximum(ok2a, ok2b)
+        else:
+            xs2, us2, it2, ok2 = fn2(bmaps, brho, *bounds, x0s2, warm)
 
         # scatter phase-2 results back (invalid slots dropped)
         safe = jnp.where(valid, gidx, B)
