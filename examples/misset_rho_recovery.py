@@ -61,6 +61,24 @@ def main(B=64, rho0=0.01):
           f"{float(np.mean(np.asarray(adapt.iter))):.0f} iterations, "
           f"final rho span [{rho.min():.3g}, {rho.max():.3g}]")
 
+    # The throughput-viable form: the bucketed exact-rebuild pipeline on
+    # the fused fast path (~3000x the nested rebuild's solve rate on chip;
+    # parallel/rebuild.py, docs/DESIGN.md §4) through the user API.
+    from tinympc_julia_tpu import TinyMPCSolver
+    solver = TinyMPCSolver(dtype=dtype)
+    solver.setup(np.asarray(cartpole.A), np.asarray(cartpole.B), None,
+                 np.diag(cartpole.Q_DIAG), np.diag(cartpole.R_DIAG),
+                 rho0, 4, 1, N, max_iter=500,
+                 adaptive_rho_min=1e-4, adaptive_rho_max=1e4)
+    solver.set_bound_constraints(
+        np.tile(-xmax[:, None], (1, N)), np.tile(xmax[:, None], (1, N)),
+        np.full((1, N - 1), -5.0), np.full((1, N - 1), 5.0))
+    xs, us, iters, solved, rho_b = solver.solve_batch_rebuild_adaptive(
+        np.asarray(x0s), phase1_iters=50, phase2_iters=450)
+    print(f"  bucketed rebuild:  {int(solved.sum())}/{B} converged, mean "
+          f"{float(iters.mean()):.0f} iterations, rho span "
+          f"[{rho_b.min():.3g}, {rho_b.max():.3g}] (fused fast path)")
+
 
 if __name__ == "__main__":
     main()
