@@ -213,3 +213,57 @@ class TestBucketedRebuild:
         assert solved.sum() >= 0.9 * B
         assert rho.max() > RHO0
         assert solver.last_overflow is not None
+
+
+class TestReviewRegressions:
+    def test_setter_changes_invalidate_cached_pipeline(self):
+        """The rebuild pipeline bakes problem data into its closure; the
+        API keys the cache on a digest of everything baked, so constraint
+        changes between calls rebuild instead of silently reusing stale
+        bounds (r5 review finding)."""
+        from tinympc_julia_tpu import TinyMPCSolver
+        N = cartpole.HORIZON
+        s = TinyMPCSolver(dtype=jnp.float32)
+        s.setup(np.asarray(cartpole.A), np.asarray(cartpole.B), None,
+                np.diag(cartpole.Q_DIAG), np.diag(cartpole.R_DIAG), RHO0,
+                4, 1, N, max_iter=300,
+                adaptive_rho_min=1e-4, adaptive_rho_max=1e4)
+        xmax = np.array([2.0, 1e17, 1e17, 1e17])
+        s.set_bound_constraints(
+            np.tile(-xmax[:, None], (1, N)), np.tile(xmax[:, None], (1, N)),
+            np.full((1, N - 1), -5.0), np.full((1, N - 1), 5.0))
+        rng = np.random.default_rng(5)
+        x0s = rng.uniform(-1, 1, size=(16, 4)) \
+            * np.array([1.8, 1.0, 0.4, 0.5])
+        _, us1, _, _, _ = s.solve_batch_rebuild_adaptive(
+            x0s, phase1_iters=20, phase2_iters=100)
+        s.set_bound_constraints(
+            np.tile(-xmax[:, None], (1, N)), np.tile(xmax[:, None], (1, N)),
+            np.full((1, N - 1), -2.0), np.full((1, N - 1), 2.0))
+        _, us2, _, _, _ = s.solve_batch_rebuild_adaptive(
+            x0s, phase1_iters=20, phase2_iters=100)
+        assert np.abs(us1).max() > 2.0 + 1e-6  # old bound was active
+        assert np.abs(us2).max() <= 2.0 + 1e-5  # new bound respected
+
+    def test_update_settings_accepts_taylor_trust(self):
+        from tinympc_julia_tpu import TinyMPCSolver
+        s = TinyMPCSolver()
+        s.setup(np.asarray(cartpole.A), np.asarray(cartpole.B), None,
+                np.diag(cartpole.Q_DIAG), np.diag(cartpole.R_DIAG), 1.0,
+                4, 1, cartpole.HORIZON)
+        s.update_settings(adaptive_rho_taylor_trust=2.0)
+        assert float(s.settings.adaptive_rho_taylor_trust) == 2.0
+
+    def test_grouped_adaptive_validates_rho_interval(self):
+        from tinympc_julia_tpu import (Settings as S, make_problem,
+                                       precompute_cache)
+        from tinympc_julia_tpu.parallel.grouped import (GroupedBatchSolver,
+                                                        stack_instances)
+        import pytest
+        p, c, _ = _misset_problem(4)
+        gs = GroupedBatchSolver(
+            stack_instances([p, p]), stack_instances([c, c]),
+            S(max_iter=52, check_termination=2, adaptive_rho=True,
+              en_state_bound=True, en_input_bound=True))
+        with pytest.raises(ValueError, match="lcm"):
+            gs.solve_batch(np.zeros((2, 8, 4)), method="fused")

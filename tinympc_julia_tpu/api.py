@@ -274,6 +274,7 @@ class TinyMPCSolver:
             relaxation_alpha=float,
             adaptive_rho_rebuild=bool,
             adaptive_rho_controller=str,
+            adaptive_rho_taylor_trust=float,
         )
         kwargs.pop("verbose", None)
         # Julia alias used in `setup`
@@ -512,9 +513,23 @@ class TinyMPCSolver:
         Bp = ((B + Bt - 1) // Bt) * Bt
         if straggler_slots is None:
             straggler_slots = Bp
+        # Unlike the other fused paths (bounds/rho are runtime arguments),
+        # the rebuild pipeline BAKES problem data and the setup cache into
+        # its closure and bucket maps — key on a digest of everything baked
+        # so later setter/cache mutations rebuild instead of silently
+        # reusing stale data.
+        import hashlib
+        h = hashlib.sha1()
+        for a in (self.cache.rho, self.cache.Kinf, self.cache.Pinf,
+                  self.cache.Quu_inv, self.cache.AmBKt, p.A, p.B, p.f,
+                  p.Q, p.R, p.rho_setup, p.u_min, p.u_max, p.x_min,
+                  p.x_max, p.Xref, p.Uref, p.Alin_u, p.blin_u, p.Alin_x,
+                  p.blin_x, p.cones_u.mus, p.cones_x.mus):
+            h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
         key = ("rebuild", T.settings_bake_key(self.settings),
                None if bucket_rhos is None else tuple(bucket_rhos),
-               phase1_iters, int(straggler_slots), phase2_iters, Bt)
+               phase1_iters, int(straggler_slots), phase2_iters, Bt,
+               h.hexdigest())
         pipe = self._fused_solvers.get(key)
         if pipe is None:
             pipe = make_bucketed_rebuild(
@@ -601,22 +616,9 @@ class TinyMPCSolver:
         interpret = jax.default_backend() != "tpu"
         warm_start = warm is not None
         from .types import settings_bake_key
+        from .ops.pallas import condensed_kernel as _pk
         key = (settings_bake_key(s), Bt, interpret, warm_start, return_carry)
         fn = self._fused_solvers.get(key)
-
-        def cone_spec(cones):
-            mus = np.asarray(cones.mus, float)
-            return tuple(
-                (int(st), int(dm), float(mu)) for st, dm, mu in
-                zip(cones.starts, cones.dims, mus))
-
-        constraint_kw = dict(
-            soc_u=cone_spec(p.cones_u) if s.en_input_soc else (),
-            soc_x=cone_spec(p.cones_x) if s.en_state_soc else (),
-            lin_u=((np.asarray(p.Alin_u), np.asarray(p.blin_u))
-                   if s.en_input_linear else None),
-            lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
-                   if s.en_state_linear else None))
 
         if s.adaptive_rho:
             from .ops.condensed import build_condensed_taylor
@@ -643,7 +645,8 @@ class TinyMPCSolver:
                     controller=s.adaptive_rho_controller,
                     taylor_trust=float(s.adaptive_rho_taylor_trust),
                     warm_start=warm_start, carry_out=return_carry,
-                    interpret=interpret, **constraint_kw)
+                    interpret=interpret,
+                    **_pk.problem_constraint_kw(p, s))
                 self._fused_solvers[key] = fn
             a = (self._condensed_taylor_maps, p.u_min, p.u_max, p.x_min,
                  p.x_max, x0s_p)
@@ -668,7 +671,8 @@ class TinyMPCSolver:
                     relaxation_alpha=s.relaxation_alpha,
                     check_termination=ct,
                     warm_start=warm_start, carry_out=return_carry,
-                    interpret=interpret, **constraint_kw)
+                    interpret=interpret,
+                    **_pk.problem_constraint_kw(p, s))
                 self._fused_solvers[key] = fn
             a = (self._condensed_maps, self.cache.rho, p.u_min, p.u_max,
                  p.x_min, p.x_max, x0s_p)

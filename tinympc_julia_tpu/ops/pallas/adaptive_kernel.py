@@ -181,9 +181,11 @@ def make_condensed_adaptive_fused_solver(
     # rho-prediction path).
     state_free = ((not en_state_bound) and not soc_x and lin_x is None)
     STEP = math.lcm(RHO_INTERVAL, ct)
-    assert max_iter % STEP == 0, \
-        (f"max_iter must be a multiple of lcm(check_termination, "
-         f"{RHO_INTERVAL}) = {STEP} (got {max_iter})")
+    if max_iter % STEP != 0:
+        raise ValueError(
+            f"max_iter must be a multiple of lcm(check_termination, "
+            f"{RHO_INTERVAL}) = {STEP} (got {max_iter}) — the rho-update "
+            "and check slots must tile the unrolled loop body")
     if osqp_ctrl:
         # the OSQP-form controller needs the stacked residual maps; the
         # termination controller works entirely from in-vreg iterates

@@ -103,6 +103,27 @@ def _halfspace_selectors(n_stages, dim, a, inv_sq):
     return SelA, Upd
 
 
+def cone_spec(cones):
+    """ConeSet -> the kernel factories' (start, dim, mu) spec tuples
+    (shared-mu form; the grouped layer builds its per-group variant)."""
+    mus = np.asarray(cones.mus, float)
+    return tuple((int(st), int(dm), float(mu)) for st, dm, mu in
+                 zip(cones.starts, cones.dims, mus))
+
+
+def problem_constraint_kw(problem, settings):
+    """The constraint-family kwargs a fused kernel factory needs, derived
+    from a Problem + Settings (None/() for disabled families)."""
+    p, s = problem, settings
+    return dict(
+        soc_u=cone_spec(p.cones_u) if s.en_input_soc else (),
+        soc_x=cone_spec(p.cones_x) if s.en_state_soc else (),
+        lin_u=((np.asarray(p.Alin_u), np.asarray(p.blin_u))
+               if s.en_input_linear else None),
+        lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
+               if s.en_state_linear else None))
+
+
 def apply_lin(w, refs, dot):
     """One cyclic halfspace projection on the stacked array (per-group
     selector matrices + bound).  Shared by the fixed-rho and adaptive fused

@@ -289,6 +289,14 @@ class GroupedBatchSolver:
             raise ValueError(
                 "the fused path needs check_termination >= 1 dividing "
                 f"max_iter (got {ct} / {s.max_iter})")
+        if s.adaptive_rho:
+            import math as _math
+            step = _math.lcm(5, ct)
+            if s.max_iter % step != 0:
+                raise ValueError(
+                    "the fused adaptive path needs max_iter divisible by "
+                    f"lcm(check_termination, 5) = {step} (the rho update "
+                    f"interval; got max_iter={s.max_iter})")
 
     def _default_tile(self, L):
         sw = self.nx * self.N + self.nu * (self.N - 1)

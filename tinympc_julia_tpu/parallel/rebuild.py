@@ -235,10 +235,7 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
         raise ValueError(f"straggler_slots={L2} must be a multiple of the "
                          f"phase-2 tile {Bt2}")
 
-    def cone_spec(cones):
-        mus = np.asarray(cones.mus, float)
-        return tuple((int(st), int(dm), float(mu)) for st, dm, mu in
-                     zip(cones.starts, cones.dims, mus))
+    from ..ops.pallas.condensed_kernel import problem_constraint_kw
 
     kw = dict(abs_pri_tol=float(s.abs_pri_tol),
               abs_dua_tol=float(s.abs_dua_tol),
@@ -246,13 +243,7 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
               en_input_bound=s.en_input_bound,
               relaxation_alpha=s.relaxation_alpha,
               check_termination=ct,
-              soc_u=cone_spec(p.cones_u) if s.en_input_soc else (),
-              soc_x=cone_spec(p.cones_x) if s.en_state_soc else (),
-              lin_u=((np.asarray(p.Alin_u), np.asarray(p.blin_u))
-                     if s.en_input_linear else None),
-              lin_x=((np.asarray(p.Alin_x), np.asarray(p.blin_x))
-                     if s.en_state_linear else None),
-              interpret=interpret)
+              interpret=interpret, **problem_constraint_kw(p, s))
     k2 = int(phase2_bf16_iters)
     if k2 % ct != 0:
         raise ValueError(f"phase2_bf16_iters={k2} must be a multiple of "
