@@ -219,17 +219,17 @@ def bench_quadrotor_adaptive(reps):
     /root/reference/examples/quadrotor_hover_codegen.jl:19-58), two-phase
     straggler pipeline in one dispatch.
 
-    Controller: the in-kernel TERMINATION controller with the Taylor trust
-    clip (rho0 +- 2).  Measured r5 (docs/DESIGN.md §4): with rho0 well-set,
-    per-lane adaptation is structurally neutral (iteration counts are flat
-    across ~3 decades of rho), so rho moves only within the deadband/trust
-    window and convergence matches the fixed-rho path — but the
-    termination predictor needs NO stacked OSQP residual maps (5 fewer
-    matmuls per update slot), measuring ~10% faster than the reference
-    OSQP controller at identical convergence.  This row is therefore the
-    honest "per-lane rho-prediction overhead" measurement; the rows where
-    adaptation WINS are the mis-set-rho0 bucketed-rebuild configs
-    (misset_rho_adaptive / misset_rho_quadrotor)."""
+    Controller: the in-kernel TERMINATION controller, floored at rho0
+    (adaptive_rho_min = 5.0) with the Taylor trust clip (rho0 + 2).
+    Measured r5 interleaved A/B (docs/DESIGN.md §4): the floor keeps the
+    hard tail out of the decay-into-Taylor-plateau failure (the r3
+    finding that sank every decay-capable config), while the RAISE
+    headroom within the trust region lets lanes bump rho to 7 — 185.5k
+    solves/s at 100% vs 154.6k for the r4 osqp-clipped config (+20%:
+    cheaper predictor with no stacked OSQP residual maps + mildly fewer
+    iterations on the raised lanes).  The big-adaptation wins are the
+    mis-set-rho0 bucketed-rebuild rows (misset_rho_adaptive /
+    misset_rho_quadrotor)."""
     import jax
     import jax.numpy as jnp
     from tinympc_julia_tpu import make_problem, precompute_cache
@@ -253,7 +253,7 @@ def bench_quadrotor_adaptive(reps):
     tmaps = build_condensed_taylor(p, c)
     kw = dict(en_input_bound=True, en_state_bound=False,
               controller="termination", taylor_trust=2.0,
-              adaptive_rho_min=1e-3, adaptive_rho_max=1e3)
+              adaptive_rho_min=5.0, adaptive_rho_max=1e3)
     mk = lambda **k: make_condensed_adaptive_fused_solver(  # noqa: E731
         np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
         np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
