@@ -150,13 +150,19 @@ def bench_cartpole(reps):
 
     kw = dict(en_input_bound=True, en_state_bound=False,
               relaxation_alpha=ALPHA, check_termination=4)
-    # budgets 48bf16 + 40H + 324H: measured-best at 100% convergence
-    # (tools/ab_precision.py r5 sweep; docs/DESIGN.md §5)
-    fn0 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=48,
+    # budgets 56bf16(single end-check) + 36H + 324H: measured-best at 100%
+    # convergence (tools/ab_precision.py r5 sweeps; docs/DESIGN.md §5).
+    # The bf16 phase is VPU-issue bound (its MXU pass is 6x cheaper), so
+    # skipping the residual/latch block until the phase end (ct=56) buys
+    # another ~4%; lanes that converge mid-phase latch at the end check.
+    fn0 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=56,
                                       carry_out=True,
                                       precision=jax.lax.Precision.DEFAULT,
-                                      **kw)
-    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=40,
+                                      en_input_bound=True,
+                                      en_state_bound=False,
+                                      relaxation_alpha=ALPHA,
+                                      check_termination=56)
+    fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=36,
                                       warm_start=True, carry_out=True, **kw)
     fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=min(1024, B2s),
                                       max_iter=324, warm_start=True, **kw)
@@ -201,7 +207,7 @@ def bench_cartpole(reps):
     n2 = int(np.sum(np.asarray(ok2)[mask2]))
     n_conv = n1 + n2
     # phase-0 runs its full bf16 budget on every lane (counted as work)
-    total_iters = float(48 * B + np.sum(np.asarray(it1))
+    total_iters = float(56 * B + np.sum(np.asarray(it1))
                         + np.sum(np.asarray(it2)[mask2]))
     t = _device_loop_time(
         pipeline, x0s,
