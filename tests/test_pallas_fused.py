@@ -564,3 +564,68 @@ def test_adaptive_fused_rocket_soc_matches_xla():
     np.testing.assert_allclose(np.asarray(jc.rho), np.asarray(rho2),
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(us1), np.asarray(us2), atol=1e-4)
+
+
+def test_bf16_head_matches_chained_pipeline():
+    """bf16_head_iters (the in-kernel precision-staged head) reproduces the
+    chained fn0(DEFAULT, ct=k0, carry_out) -> fn1(warm) pipeline: identical
+    per-lane iteration counts and solved flags, iterates to float
+    reassociation (the head runs as a fori_loop; XLA compiles the same
+    formula with different association than the chained kernels).  On CPU
+    DEFAULT precision == f32, so this pins the control flow; the bf16
+    numerics are the chip-measured perf story (docs/DESIGN.md §5)."""
+    from tinympc_julia_tpu.ops.condensed import build_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 32
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    maps = build_condensed(p, c)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+    kw = dict(en_input_bound=True, en_state_bound=False,
+              relaxation_alpha=1.7,
+              interpret=jax.default_backend() != "tpu")
+
+    merged = make_condensed_fused_solver(
+        4, 1, N, batch_tile=8, max_iter=48, check_termination=4,
+        bf16_head_iters=8, **kw)
+    fn0 = make_condensed_fused_solver(
+        4, 1, N, batch_tile=8, max_iter=8, check_termination=8,
+        carry_out=True, precision=jax.lax.Precision.DEFAULT, **kw)
+    fn1 = make_condensed_fused_solver(
+        4, 1, N, batch_tile=8, max_iter=40, check_termination=4,
+        warm_start=True, **kw)
+    xs_m, us_m, it_m, ok_m = merged(maps, c.rho, *bounds, x0s)
+    _, _, it0, ok0, carry = fn0(maps, c.rho, *bounds, x0s)
+    xs_c, us_c, it1, ok1 = fn1(maps, c.rho, *bounds, x0s, carry)
+
+    ok_chain = np.maximum(np.asarray(ok0), np.asarray(ok1))
+    it_chain = np.where(np.asarray(ok0) == 1, np.asarray(it0),
+                        8 + np.asarray(it1))
+    np.testing.assert_array_equal(np.asarray(ok_m), ok_chain)
+    np.testing.assert_array_equal(np.asarray(it_m), it_chain)
+    np.testing.assert_allclose(np.asarray(us_m), np.asarray(us_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs_m), np.asarray(xs_c),
+                               atol=1e-5)
+    assert int(ok_chain.sum()) > B * 3 // 4  # the config genuinely solves
+
+
+def test_bf16_head_validation():
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+    with pytest.raises(ValueError, match="bf16_head_iters"):
+        make_condensed_fused_solver(4, 1, 20, max_iter=48,
+                                    check_termination=4, bf16_head_iters=6)
+    with pytest.raises(ValueError, match="bf16_head_iters"):
+        make_condensed_fused_solver(4, 1, 20, max_iter=48,
+                                    check_termination=4, bf16_head_iters=48)

@@ -243,6 +243,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
                                 warm_start: bool = False,
                                 carry_out: bool = False,
                                 num_groups: int = 1,
+                                bf16_head_iters: int = 0,
                                 interpret: bool = False,
                                 _disable_state_free: bool = False):
     """Build a jitted fused condensed solver.
@@ -278,6 +279,17 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         (projection semantics of ops/projections._project_soc_scaled);
       lin_u / lin_x: (Alin (m, dim), blin (m,)) cyclic halfspace projections.
     Composition order matches ops/condensed.py: box -> linear -> SOC.
+
+    ``bf16_head_iters=k0`` runs the FIRST k0 iterations with one-pass bf16
+    matmuls (Precision.DEFAULT) inside the SAME kernel — the in-kernel form
+    of the precision-staged pipeline (docs/DESIGN.md §5): no second
+    pallas_call launch and no HBM round trip of the carry between the
+    phases.  Head iterations skip the residual/latch block entirely except
+    at the head's last iteration (the measured-best cadence — phase-0
+    lanes essentially never terminate early), then the loop continues at
+    ``precision`` with ``check_termination`` cadence.  Equivalent to
+    chaining a (k0, ct=k0, DEFAULT, carry_out) kernel into a warm
+    ``precision`` kernel, with cumulative iteration reporting.
     """
     Bt = batch_tile
     su = (N - 1) * nu
@@ -289,6 +301,11 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
         raise ValueError(
             "check_termination must be >= 1 and divide max_iter on the fused "
             f"kernel (got check_termination={ct}, max_iter={max_iter})")
+    k0 = int(bf16_head_iters)
+    if k0 and (k0 < ct or k0 % ct != 0 or k0 >= max_iter):
+        raise ValueError(
+            f"bf16_head_iters={k0} must be a nonzero multiple of "
+            f"check_termination={ct} below max_iter={max_iter}")
     # With no state-side constraint the state dual is identically zero:
     # vnew = x_hat + g has no projection, so g' = g + x_hat - vnew == 0
     # bit-exactly from g0 = 0.  The whole g machinery (the LARGE sx-row
@@ -300,6 +317,7 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
     state_free = ((not en_state_bound) and not soc_x and lin_x is None
                   and not _disable_state_free)
     _dot = _make_dot(precision)
+    _dot_head = _make_dot(jax.lax.Precision.DEFAULT) if k0 else None
 
     # host-built constraint selector matrices (static inputs); see
     # build_constraint_mats for the per-group data contract.
@@ -456,10 +474,32 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
 
             return jnp.all(conv_all) if check else jnp.bool_(False)
 
-        def fused_ux():
-            return _dot(T12w, w2_s[...]) + uxc_s[...]
+        def fused_ux(dot=None):
+            return (dot or _dot)(T12w, w2_s[...]) + uxc_s[...]
 
-        if warm_start:
+        if k0:
+            # bf16 head: iterations 0..k0-1 with one-pass DEFAULT matmuls,
+            # residual/latch block only at the head's last iteration (head
+            # lanes essentially never terminate early — measured).  The
+            # head has a fixed trip count (no early exit), so it is a
+            # fori_loop; the precision-`_dot` tail below continues from
+            # i = k0 with the normal check cadence.
+            if warm_start:
+                uxc_s[...] = uxc_s[...] + T12c
+                head_start = 0
+            else:
+                one_iter(0, uxc_s[...], False)
+                uxc_s[...] = uxc_s[...] + T12c
+                head_start = 1
+
+            def head_body(i, _):
+                one_iter(i, fused_ux(_dot_head), False)
+                return 0
+
+            lax.fori_loop(head_start, k0 - 1, head_body, 0)
+            done0 = one_iter(k0 - 1, fused_ux(_dot_head), True)
+            start = jnp.int32(k0)
+        elif warm_start:
             # warm continuation: every iteration (incl. the first) replays
             # the generic fused matmul on the carried w2 — identical ops to
             # the uninterrupted solve.
