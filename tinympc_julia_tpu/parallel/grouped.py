@@ -227,8 +227,8 @@ class GroupedBatchSolver:
                tuple(sorted(extra.items())))
         fn = self._fused_solvers.get(key)
         if fn is None:
-            fn = make_condensed_fused_solver(
-                self.nx, self.nu, self.N, batch_tile=Bt, max_iter=max_iter,
+            kwargs = dict(
+                batch_tile=Bt, max_iter=max_iter,
                 abs_pri_tol=float(s.abs_pri_tol),
                 abs_dua_tol=float(s.abs_dua_tol),
                 en_state_bound=s.en_state_bound,
@@ -236,7 +236,10 @@ class GroupedBatchSolver:
                 relaxation_alpha=s.relaxation_alpha,
                 check_termination=s.check_termination,
                 soc_u=soc_u, soc_x=soc_x, lin_u=lin_u, lin_x=lin_x,
-                num_groups=self.num_groups, interpret=interpret, **extra)
+                num_groups=self.num_groups, interpret=interpret)
+            kwargs.update(extra)  # extra may override (e.g. ct in phase 0)
+            fn = make_condensed_fused_solver(self.nx, self.nu, self.N,
+                                             **kwargs)
             self._fused_solvers[key] = fn
         return fn
 
@@ -432,6 +435,12 @@ class GroupedBatchSolver:
             tmaps = self._taylor_maps
         else:
             if k0:
+                # phase 0 keeps the Settings check cadence: on the
+                # domain-randomized sweeps easy TILES converge well inside
+                # the bf16 budget and early-exit — measured worth more
+                # than stripping the residual block (the headline's
+                # homogeneous cartpole distribution is the opposite case
+                # and uses an end-check-only phase 0; docs/DESIGN.md §5)
                 fn0 = self._fused_kernel(
                     Bt, k0, carry_out=True,
                     precision=jax.lax.Precision.DEFAULT)
