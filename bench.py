@@ -116,12 +116,13 @@ def bench_cartpole(reps):
     straggler pipeline in one dispatch (BASELINE.md config 1/2 plant;
     examples/cartpole_example_one_solve.jl:11-23).
 
-    Phase 0 runs in one-pass bf16 matmuls (Precision.DEFAULT): bf16 noise
-    stalls ADMM at ~1e-2, but driving iterates into that ball costs 1/6th
-    the MXU passes of HIGHEST — then phase 1 polishes warm at HIGHEST and
-    phase 2 continues compacted stragglers.  Measured +14% over the
-    all-HIGHEST two-phase r4 config at equal 100% convergence
-    (tools/ab_precision.py; docs/DESIGN.md §5)."""
+    Phase 0 runs in one-pass bf16 matmuls (Precision.DEFAULT) with a
+    single end check: bf16 noise stalls ADMM at ~1e-2, but driving
+    iterates into that ball costs 1/6th the MXU passes of HIGHEST — then
+    phase 1 polishes warm at HIGHEST and phase 2 continues compacted
+    stragglers.  Measured +24% over the all-HIGHEST two-phase r4 config
+    at equal 100% convergence (tools/ab_precision.py sweeps;
+    docs/DESIGN.md §5)."""
     import jax
     import jax.numpy as jnp
     from tinympc_julia_tpu import make_problem, precompute_cache
@@ -158,10 +159,7 @@ def bench_cartpole(reps):
     fn0 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=56,
                                       carry_out=True,
                                       precision=jax.lax.Precision.DEFAULT,
-                                      en_input_bound=True,
-                                      en_state_bound=False,
-                                      relaxation_alpha=ALPHA,
-                                      check_termination=56)
+                                      **dict(kw, check_termination=56))
     fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=36,
                                       warm_start=True, carry_out=True, **kw)
     fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=min(1024, B2s),
@@ -257,9 +255,11 @@ def bench_quadrotor_adaptive(reps):
     c = precompute_cache(p.A, p.B, p.Q, p.R,
                          jnp.asarray(quadrotor.RHO, dtype))
     tmaps = build_condensed_taylor(p, c)
+    # floor == rho0 is the config's invariant (decay below rho0 re-enters
+    # the Taylor plateau) — derive it, don't hardcode
     kw = dict(en_input_bound=True, en_state_bound=False,
               controller="termination", taylor_trust=2.0,
-              adaptive_rho_min=5.0, adaptive_rho_max=1e3)
+              adaptive_rho_min=float(quadrotor.RHO), adaptive_rho_max=1e3)
     mk = lambda **k: make_condensed_adaptive_fused_solver(  # noqa: E731
         np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
         np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,

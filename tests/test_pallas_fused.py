@@ -629,3 +629,37 @@ def test_bf16_head_validation():
     with pytest.raises(ValueError, match="bf16_head_iters"):
         make_condensed_fused_solver(4, 1, 20, max_iter=48,
                                     check_termination=4, bf16_head_iters=48)
+
+
+def test_bf16_head_k0_1_cold_start():
+    """Regression (r5 review): bf16_head_iters=1 cold start used to run
+    iteration 0 twice, shifting every lane's iteration count.  On CPU
+    (DEFAULT == f32) a 1-iteration head must match the plain kernel
+    bitwise."""
+    from tinympc_julia_tpu.ops.condensed import build_condensed
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    maps = build_condensed(p, c)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(16, 4)), dtype)
+    kw = dict(en_input_bound=True, en_state_bound=False,
+              relaxation_alpha=1.7, check_termination=1, batch_tile=8,
+              max_iter=48, interpret=jax.default_backend() != "tpu")
+    plain = make_condensed_fused_solver(4, 1, N, **kw)
+    head1 = make_condensed_fused_solver(4, 1, N, bf16_head_iters=1, **kw)
+    _, us_p, it_p, ok_p = plain(maps, c.rho, *bounds, x0s)
+    _, us_h, it_h, ok_h = head1(maps, c.rho, *bounds, x0s)
+    np.testing.assert_array_equal(np.asarray(it_p), np.asarray(it_h))
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_h))
+    np.testing.assert_allclose(np.asarray(us_p), np.asarray(us_h),
+                               atol=1e-6)

@@ -487,17 +487,20 @@ def make_condensed_fused_solver(nx: int, nu: int, N: int, *,
             if warm_start:
                 uxc_s[...] = uxc_s[...] + T12c
                 head_start = 0
+                done0 = jnp.bool_(False)
             else:
-                one_iter(0, uxc_s[...], False)
+                # cold iteration 0 is the pure rollout (no matmul); with a
+                # single-iteration head it is also the head's end check
+                done0 = one_iter(0, uxc_s[...], k0 == 1)
                 uxc_s[...] = uxc_s[...] + T12c
                 head_start = 1
+            if warm_start or k0 > 1:
+                def head_body(i, _):
+                    one_iter(i, fused_ux(_dot_head), False)
+                    return 0
 
-            def head_body(i, _):
-                one_iter(i, fused_ux(_dot_head), False)
-                return 0
-
-            lax.fori_loop(head_start, k0 - 1, head_body, 0)
-            done0 = one_iter(k0 - 1, fused_ux(_dot_head), True)
+                lax.fori_loop(head_start, k0 - 1, head_body, 0)
+                done0 = one_iter(k0 - 1, fused_ux(_dot_head), True)
             start = jnp.int32(k0)
         elif warm_start:
             # warm continuation: every iteration (incl. the first) replays
