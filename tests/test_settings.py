@@ -101,3 +101,46 @@ def test_check_termination_zero_disables():
     status = s.solve()
     assert status == 1  # never "converges" by check
     assert int(s.solution.iter) == 12
+
+
+def test_bf16_head_iters_through_api():
+    """Settings.bf16_head_iters stages the fused path through the public
+    API (on CPU DEFAULT == f32, so results match the unstaged solve
+    exactly); adaptive_rho rejects it."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from tinympc_julia_tpu import TinyMPCSolver
+    from tinympc_julia_tpu.models import cartpole
+
+    N = cartpole.HORIZON
+    rng = np.random.default_rng(0)
+    x0s = rng.uniform(-0.5, 0.5, size=(16, 4))
+
+    def solver():
+        s = TinyMPCSolver(dtype=jnp.float32)
+        s.setup(np.asarray(cartpole.A), np.asarray(cartpole.B), None,
+                np.diag(cartpole.Q_DIAG), np.diag(cartpole.R_DIAG), 1.0,
+                4, 1, N, max_iter=100)
+        s.set_bound_constraints(np.full((4, N), -1e17), np.full((4, N), 1e17),
+                                np.full((1, N - 1), -5.0),
+                                np.full((1, N - 1), 5.0))
+        return s
+
+    a = solver()
+    xs_a, us_a, it_a, ok_a = a.solve_batch(x0s, method="fused")
+    b = solver()
+    b.update_settings(bf16_head_iters=8)
+    xs_b, us_b, it_b, ok_b = b.solve_batch(x0s, method="fused")
+    np.testing.assert_array_equal(ok_a, ok_b)
+    # head checks only at its end: early lanes latch at 8, later ones equal
+    early = it_b == 8
+    assert np.all(it_a[early] <= 8)
+    np.testing.assert_array_equal(it_a[~early], it_b[~early])
+    np.testing.assert_allclose(us_a[~early], us_b[~early], atol=1e-6)
+
+    c = solver()
+    c.update_settings(adaptive_rho=True, bf16_head_iters=8)
+    with pytest.raises(ValueError, match="fixed-rho only"):
+        c.solve_batch(x0s, method="fused")

@@ -275,6 +275,7 @@ class TinyMPCSolver:
             adaptive_rho_rebuild=bool,
             adaptive_rho_controller=str,
             adaptive_rho_taylor_trust=float,
+            bf16_head_iters=int,
         )
         kwargs.pop("verbose", None)
         # Julia alias used in `setup`
@@ -594,6 +595,10 @@ class TinyMPCSolver:
                     "runs as the bucketed rebuild pipeline: use "
                     "solve_batch_rebuild_adaptive (or method='standard' for "
                     "the per-update exact rebuild)")
+            if s.bf16_head_iters:
+                raise ValueError("bf16_head_iters is fixed-rho only (the "
+                                 "rho prediction would read bf16-noise "
+                                 "residuals)")
             import math as _math
             step = _math.lcm(5, ct)
             if s.max_iter % step != 0:
@@ -670,6 +675,7 @@ class TinyMPCSolver:
                     en_input_bound=s.en_input_bound,
                     relaxation_alpha=s.relaxation_alpha,
                     check_termination=ct,
+                    bf16_head_iters=s.bf16_head_iters,
                     warm_start=warm_start, carry_out=return_carry,
                     interpret=interpret,
                     **_pk.problem_constraint_kw(p, s))

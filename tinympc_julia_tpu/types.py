@@ -176,6 +176,16 @@ class Settings:
     # measured-fatal (DESIGN §4 point 3).
     adaptive_rho_controller: str = struct.field(pytree_node=False,
                                                 default="osqp")
+    # EXTENSION (0 = off = reference-exact numerics): on the fused
+    # fixed-rho path, run the FIRST k iterations with one-pass bf16
+    # matmuls before continuing at full precision — the in-kernel
+    # precision staging measured +24% on the headline workload
+    # (docs/DESIGN.md §5).  Must be a multiple of check_termination below
+    # max_iter; incompatible with adaptive_rho (the rho prediction would
+    # read bf16-noise residuals).  Solution QUALITY is unchanged (the
+    # termination check always evaluates true residuals at tolerance);
+    # the PATH to the fixed point reassociates, so this is opt-in.
+    bf16_head_iters: int = struct.field(pytree_node=False, default=0)
 
 
 def settings_bake_key(s: Settings) -> tuple:
@@ -190,7 +200,8 @@ def settings_bake_key(s: Settings) -> tuple:
             s.en_state_bound, s.en_input_bound, s.en_state_soc,
             s.en_input_soc, s.en_state_linear, s.en_input_linear,
             s.adaptive_rho, s.adaptive_rho_enable_clipping,
-            s.adaptive_rho_rebuild, s.adaptive_rho_controller)
+            s.adaptive_rho_rebuild, s.adaptive_rho_controller,
+            s.bf16_head_iters)
 
 
 def default_settings() -> Settings:
