@@ -162,8 +162,11 @@ def bench_cartpole(reps):
                                       **dict(kw, check_termination=56))
     fn1 = make_condensed_fused_solver(4, 1, N, batch_tile=2048, max_iter=36,
                                       warm_start=True, carry_out=True, **kw)
+    # straggler continuation gets its own 96-iteration bf16 head
+    # (in-kernel): measured +4% (docs/DESIGN.md §5)
     fn2 = make_condensed_fused_solver(4, 1, N, batch_tile=min(1024, B2s),
-                                      max_iter=324, warm_start=True, **kw)
+                                      max_iter=324, warm_start=True,
+                                      bf16_head_iters=96, **kw)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
@@ -798,11 +801,15 @@ def bench_randomized_sweep(reps):
     # slowest lane converges; measured ~4% useful iterations single-phase),
     # timed on-device like every other config (solve_batch's numpy
     # conversion would move ~80 MB of trajectories through the remote
-    # tunnel per rep).  Precision staging (128 bf16 + 32 HIGHEST):
-    # measured +34% at 100% convergence (docs/DESIGN.md §5)
+    # tunnel per rep).  Precision staging on BOTH ends (128 bf16 bulk +
+    # 32 HIGHEST, then a 512-iteration bf16 head inside the straggler
+    # continuation — stragglers are exactly the lanes with hundreds of
+    # iterations left): measured 1.13M solves/s at 100% convergence vs
+    # 536k unstaged (docs/DESIGN.md §5)
     pipe = gs.make_fused_pipeline(phase0_bf16_iters=128, phase1_iters=32,
                                   straggler_slots=256,
-                                  phase2_iters=1500, lanes=L)
+                                  phase2_iters=1500, phase2_bf16_head=512,
+                                  lanes=L)
 
     _, _, iters, solved, overflow = (np.asarray(o) for o in pipe(x0s))
     if overflow.any():

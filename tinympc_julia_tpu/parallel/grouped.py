@@ -345,7 +345,8 @@ class GroupedBatchSolver:
                             phase2_iters: int = 300, lanes: int,
                             batch_tile: Optional[int] = None,
                             valid_lanes: Optional[int] = None,
-                            phase0_bf16_iters: int = 0):
+                            phase0_bf16_iters: int = 0,
+                            phase2_bf16_head: int = 0):
         """Two-phase grouped fused solve as ONE jitted device function.
 
         A VMEM-resident tile runs until its SLOWEST lane converges, so a
@@ -379,7 +380,13 @@ class GroupedBatchSolver:
         one-pass bf16 matmuls (Precision.DEFAULT) before the HIGHEST
         phases — bf16 noise stalls ADMM at ~1e-2, but driving iterates
         into that ball costs 1/6th the MXU passes (measured +14% on the
-        headline pipeline, docs/DESIGN.md §5).  A perf configuration: the
+        headline pipeline, docs/DESIGN.md §5).  ``phase2_bf16_head``
+        (fixed-rho only) gives the straggler continuation an in-kernel
+        bf16 head of that many iterations (condensed_kernel
+        bf16_head_iters) — the BIGGEST staging lever on straggler-heavy
+        sweeps, since stragglers are exactly the lanes with hundreds of
+        iterations left (measured +56% on the randomized quadrotor sweep
+        at 100% convergence).  Both are perf configurations: the
         exact-continuation equivalence to a single long HIGHEST solve no
         longer holds bit-for-bit (solution QUALITY is unchanged — the
         termination check always evaluates true 1e-3 residuals on the
@@ -414,15 +421,17 @@ class GroupedBatchSolver:
         if not 0 < Lv <= L:
             raise ValueError(f"valid_lanes={Lv} must be in (0, lanes={L}]")
         k0 = int(phase0_bf16_iters)
-        if k0 and s.adaptive_rho:
-            raise ValueError("phase0_bf16_iters is fixed-rho only (the rho "
-                             "prediction would read bf16-noise residuals)")
+        k2 = int(phase2_bf16_head)
+        if (k0 or k2) and s.adaptive_rho:
+            raise ValueError("phase0_bf16_iters/phase2_bf16_head are "
+                             "fixed-rho only (the rho prediction would read "
+                             "bf16-noise residuals)")
         if k0 % ct != 0:
             raise ValueError(f"phase0_bf16_iters={k0} must be a multiple of "
                              f"check_termination={ct}")
         from ..types import settings_bake_key
         pkey = (settings_bake_key(s), phase1_iters, L2, phase2_iters, L, Bt,
-                Lv, k0)
+                Lv, k0, k2)
         cached = self._pipelines.get(pkey)
         if cached is not None:
             return cached
@@ -448,7 +457,10 @@ class GroupedBatchSolver:
                                          carry_out=True)
             else:
                 fn1 = self._fused_kernel(Bt, phase1_iters, carry_out=True)
-            fn2 = self._fused_kernel(Bt2, phase2_iters, warm_start=True)
+            extra2 = dict(warm_start=True)
+            if k2:
+                extra2["bf16_head_iters"] = k2
+            fn2 = self._fused_kernel(Bt2, phase2_iters, **extra2)
             maps, rho = self._maps, self.caches.rho
         bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
