@@ -231,24 +231,34 @@ def bench_quadrotor_adaptive(reps):
     Measured r5 interleaved A/B (docs/DESIGN.md §4): the floor keeps the
     hard tail out of the decay-into-Taylor-plateau failure (the r3
     finding that sank every decay-capable config), while the RAISE
-    headroom within the trust region lets lanes bump rho to 7 — 185.5k
-    solves/s at 100% vs 154.6k for the r4 osqp-clipped config (+20%:
-    cheaper predictor with no stacked OSQP residual maps + mildly fewer
-    iterations on the raised lanes).  The big-adaptation wins are the
-    mis-set-rho0 bucketed-rebuild rows (misset_rho_adaptive /
-    misset_rho_quadrotor)."""
+    headroom within the trust region lets lanes bump rho to 7 — +20% over
+    the r4 osqp-clipped config at 100% convergence.
+
+    Phase 2 REQUANTIZES: by the straggler continuation each lane's rho
+    has settled, so the carried per-lane rho is snapped onto exact bucket
+    caches (parallel/rebuild.rebuild_bucket_caches — no Taylor error) and
+    the stragglers continue on the FIXED grouped kernel (one matmul per
+    iteration instead of the adaptive kernel's three) with a bf16 head —
+    measured +21% more at 100% (224k vs 185k; docs/DESIGN.md §4).  The
+    big-adaptation wins are the mis-set-rho0 bucketed-rebuild rows
+    (misset_rho_adaptive / misset_rho_quadrotor)."""
     import jax
     import jax.numpy as jnp
     from tinympc_julia_tpu import make_problem, precompute_cache
     from tinympc_julia_tpu.models import quadrotor
-    from tinympc_julia_tpu.ops.condensed import build_condensed_taylor
+    from tinympc_julia_tpu.ops.condensed import (build_condensed,
+                                                 build_condensed_taylor)
     from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
-        AdaptiveFusedCarry, make_condensed_adaptive_fused_solver)
+        make_condensed_adaptive_fused_solver)
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        FusedCarry, make_condensed_fused_solver)
+    from tinympc_julia_tpu.parallel.grouped import stack_instances
+    from tinympc_julia_tpu.parallel.rebuild import rebuild_bucket_caches
 
     dtype = jnp.float32
     N = quadrotor.HORIZON
     B = 4096 if QUICK else 16384
-    B2 = 1024 if QUICK else 4096   # straggler slots (~12% at max_iter=150)
+    S2 = 1024 if QUICK else 2048   # straggler slots PER BUCKET
     ub = quadrotor.U_HOVER_BOUND
     p = make_problem(jnp.asarray(quadrotor.A, dtype),
                      jnp.asarray(quadrotor.B, dtype),
@@ -263,12 +273,21 @@ def bench_quadrotor_adaptive(reps):
     kw = dict(en_input_bound=True, en_state_bound=False,
               controller="termination", taylor_trust=2.0,
               adaptive_rho_min=float(quadrotor.RHO), adaptive_rho_max=1e3)
-    mk = lambda **k: make_condensed_adaptive_fused_solver(  # noqa: E731
+    fn1 = make_condensed_adaptive_fused_solver(
         np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
         np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N,
-        batch_tile=512, **kw, **k)
-    fn1 = mk(max_iter=150, carry_out=True)
-    fn2 = mk(max_iter=2500, warm_start=True)
+        batch_tile=512, max_iter=150, carry_out=True, **kw)
+
+    # exact bucket caches spanning the trust window [rho0, rho0 + 2]
+    BUCKETS = tuple(float(quadrotor.RHO) + d for d in (0.0, 1.0, 2.0))
+    G = len(BUCKETS)
+    bcaches = rebuild_bucket_caches(p, c, BUCKETS)
+    bmaps = build_condensed(stack_instances([p] * G), bcaches)
+    brho = jnp.asarray(BUCKETS, jnp.float32)
+    fn2 = make_condensed_fused_solver(
+        12, 4, N, batch_tile=512, max_iter=2500, warm_start=True,
+        num_groups=G, bf16_head_iters=256, en_input_bound=True,
+        en_state_bound=False)
 
     rng = np.random.default_rng(1)
     x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 12)), dtype)
@@ -278,27 +297,50 @@ def bench_quadrotor_adaptive(reps):
     def pipeline(x0s):
         _, _, it1, ok1, rho1, carry = fn1(tmaps, *bounds, x0s)
         unconv = ok1 == 0
-        idx = jnp.nonzero(unconv, size=B2, fill_value=0)[0]
-        warm = AdaptiveFusedCarry(*(w[:, idx] for w in carry))
-        _, _, it2, ok2, rho2 = fn2(tmaps, *bounds, x0s[idx], warm)
-        return it1, ok1, rho1, it2, ok2, rho2, unconv
+        # snap each straggler's settled rho onto the bucket grid
+        bucket = jnp.argmin(jnp.abs(carry.rho[0][:, None]
+                                    - brho[None, :]), axis=1)
+        m = unconv[None, :] & (bucket[None, :] == jnp.arange(G)[:, None])
+        idx = jax.vmap(
+            lambda mk: jnp.nonzero(mk, size=S2, fill_value=0)[0])(m)
+        gidx = idx.reshape(-1)
+        counts = m.sum(axis=1)
+        valid = (jnp.arange(S2)[None, :] < counts[:, None]).reshape(-1)
+        # adaptive carry -> fixed-kernel carry: w2 = [z - y; v - g]
+        w2 = jnp.concatenate([carry.z - carry.y, carry.v - carry.g], axis=0)
 
-    it1, ok1, rho1, it2, ok2, rho2, unconv = pipeline(x0s)
+        def gather(a):
+            return jnp.where(valid[None, :], a[:, gidx], 0.0)
+
+        warm = FusedCarry(gather(w2), gather(carry.y), gather(carry.g),
+                          gather(carry.v), gather(carry.z))
+        x0s2 = jnp.where(valid[:, None], x0s[gidx], 0.0)
+        _, _, it2, ok2 = fn2(bmaps, brho, *bounds, x0s2, warm)
+        lane_rho = jnp.where(valid, brho[jnp.repeat(jnp.arange(G), S2)],
+                             0.0)
+        overflow = jnp.maximum(counts - S2, 0)
+        return (it1, ok1, rho1, it2, jnp.where(valid, ok2, 0), lane_rho,
+                unconv, valid, overflow)
+
+    (it1, ok1, rho1, it2, ok2v, lrho, unconv, valid,
+     overflow) = pipeline(x0s)
     n1 = int(np.sum(np.asarray(ok1)))
     n_straggler = int(np.sum(np.asarray(unconv)))
-    mask2 = np.zeros(np.asarray(it2).size, bool)
-    mask2[:n_straggler] = True
-    n2 = int(np.sum(np.asarray(ok2)[mask2]))
+    n2 = int(np.sum(np.asarray(ok2v)))
     n_conv = n1 + n2
+    if np.asarray(overflow).any():
+        log(f"quadrotor adaptive: bucket overflow "
+            f"{np.asarray(overflow).tolist()}")
     total_iters = float(np.sum(np.asarray(it1))
-                        + np.sum(np.asarray(it2)[mask2]))
+                        + np.sum(np.asarray(it2)[np.asarray(valid)]))
     t = _device_loop_time(
         pipeline, x0s,
         lambda o: (jnp.sum(o[1]) + jnp.sum(o[4])).astype(jnp.float32), reps)
     rho_all = np.concatenate([np.asarray(rho1)[~np.asarray(unconv)],
-                              np.asarray(rho2)[mask2]])
+                              np.asarray(lrho)[np.asarray(valid)]])
     log(f"quadrotor adaptive-rho: {n_conv}/{B} converged "
-        f"({100.0 * n_conv / B:.2f}%), {n_straggler} stragglers, rho span "
+        f"({100.0 * n_conv / B:.2f}%), {n_straggler} stragglers "
+        f"requantized onto buckets {BUCKETS}, rho span "
         f"[{rho_all.min():.2f}, {rho_all.max():.2f}], "
         f"median {t * 1e3:.2f} ms -> {n_conv / t:.0f} solves/s")
     return dict(solves_per_sec=round(n_conv / t, 1),
@@ -306,7 +348,8 @@ def bench_quadrotor_adaptive(reps):
                 convergence=round(n_conv / B, 4),
                 rho_span=[round(float(rho_all.min()), 4),
                           round(float(rho_all.max()), 4)],
-                controller="termination", batch=B)
+                controller="termination", phase2="bucket-requantized",
+                batch=B)
 
 
 def bench_misset_rho(reps):

@@ -663,3 +663,62 @@ def test_bf16_head_k0_1_cold_start():
     np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_h))
     np.testing.assert_allclose(np.asarray(us_p), np.asarray(us_h),
                                atol=1e-6)
+
+
+def test_adaptive_carry_converts_to_fixed_kernel():
+    """The bench quadrotor row's phase-2 requantization converts an
+    AdaptiveFusedCarry into the fixed kernel's FusedCarry via
+    w2 = [z - y; v - g].  With rho pinned (min == max == rho0, so the
+    adaptive path degenerates to fixed rho and the Taylor corrections
+    vanish), continuing on the fixed kernel must equal continuing on the
+    adaptive kernel lane-for-lane."""
+    from tinympc_julia_tpu.ops.condensed import (build_condensed,
+                                                 build_condensed_taylor)
+    from tinympc_julia_tpu.ops.pallas.adaptive_kernel import (
+        make_condensed_adaptive_fused_solver)
+    from tinympc_julia_tpu.ops.pallas.condensed_kernel import (
+        FusedCarry, make_condensed_fused_solver)
+
+    dtype = jnp.float32
+    N = 20
+    B = 16
+    p = make_problem(jnp.asarray(cartpole.A, dtype),
+                     jnp.asarray(cartpole.B, dtype),
+                     jnp.asarray(np.diag(cartpole.Q_DIAG), dtype),
+                     jnp.asarray(np.diag(cartpole.R_DIAG), dtype),
+                     1.0, N, u_min=-5.0, u_max=5.0)
+    c = precompute_cache(p.A, p.B, p.Q, p.R, jnp.asarray(1.0, dtype))
+    tmaps = build_condensed_taylor(p, c)
+    maps = build_condensed(p, c)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, 4)), dtype)
+    bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
+    interp = jax.default_backend() != "tpu"
+
+    mk = lambda **k: make_condensed_adaptive_fused_solver(  # noqa: E731
+        np.asarray(p.A), np.asarray(p.B), np.asarray(p.Q), np.asarray(p.R),
+        np.asarray(c.Pinf), np.asarray(c.dPinf_drho), N, batch_tile=8,
+        en_input_bound=True, en_state_bound=False,
+        adaptive_rho_min=1.0, adaptive_rho_max=1.0, interpret=interp, **k)
+    fn1 = mk(max_iter=20, carry_out=True)
+    fn2_adaptive = mk(max_iter=100, warm_start=True)
+    fn2_fixed = make_condensed_fused_solver(
+        4, 1, N, batch_tile=8, max_iter=100, warm_start=True,
+        en_input_bound=True, en_state_bound=False, interpret=interp)
+
+    _, _, it1, ok1, _rho, carry = fn1(tmaps, *bounds, x0s)
+    _, us_a, it_a, ok_a, _r2 = fn2_adaptive(tmaps, *bounds, x0s, carry)
+    w2 = jnp.concatenate([carry.z - carry.y, carry.v - carry.g], axis=0)
+    warm = FusedCarry(w2, carry.y, carry.g, carry.v, carry.z)
+    _, us_f, it_f, ok_f = fn2_fixed(maps, c.rho, *bounds, x0s, warm)
+
+    np.testing.assert_array_equal(np.asarray(it_a), np.asarray(it_f))
+    np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_f))
+    both = np.asarray(ok_a) == 1
+    assert both.sum() > B // 2
+    # the adaptive kernel applies T1 then T2 (stacked Taylor blocks); the
+    # fixed kernel applies the iteration-fused T12 — equal in exact
+    # arithmetic, float-reassociation-level differences compound over the
+    # continuation (the established fast-path tolerance class)
+    np.testing.assert_allclose(np.asarray(us_a)[both],
+                               np.asarray(us_f)[both], atol=1e-4)
