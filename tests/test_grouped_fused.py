@@ -469,3 +469,31 @@ class TestPrecisionStagedPipeline:
             gs.make_fused_pipeline(phase0_bf16_iters=20, phase1_iters=30,
                                    straggler_slots=8, phase2_iters=100,
                                    lanes=16)
+
+
+class TestPipelineDictForm:
+    def test_dict_pipeline_reaches_staging_options(self):
+        """solve_batch(pipeline=dict(...)) reaches every
+        make_fused_pipeline option; results match the tuple form when the
+        extra options are off, and the staged dict form keeps quality."""
+        G, L = 2, 16
+        probs, caches = _groups(quadrotor, G, rho=5.0, ub_range=(0.35, 0.6),
+                                N=12, seed=41)
+        rng = np.random.default_rng(42)
+        x0s = np.asarray(rng.uniform(-0.25, 0.25, size=(G, L, 12)),
+                         np.float32)
+        s = Settings(max_iter=150, en_state_bound=False, en_input_bound=True)
+        gs = GroupedBatchSolver(probs, caches, s)
+        out_t = gs.solve_batch(x0s, method="fused", pipeline=(50, 8, 100))
+        out_d = gs.solve_batch(
+            x0s, method="fused",
+            pipeline=dict(phase1_iters=50, straggler_slots=8,
+                          phase2_iters=100))
+        for a, b in zip(out_t, out_d):
+            np.testing.assert_array_equal(a, b)
+        out_s = gs.solve_batch(
+            x0s, method="fused",
+            pipeline=dict(phase1_iters=30, straggler_slots=8,
+                          phase2_iters=100, phase0_bf16_iters=20,
+                          phase2_bf16_head=20))
+        assert out_s[3].sum() >= out_t[3].sum()

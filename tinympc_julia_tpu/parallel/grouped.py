@@ -93,7 +93,11 @@ class GroupedBatchSolver:
         ``pipeline=(phase1_iters, straggler_slots, phase2_iters)`` routes the
         fused method through the two-phase straggler pipeline
         (make_fused_pipeline) — same per-lane semantics as a single fused
-        solve of phase1+phase2 iterations.  Groups with more unconverged
+        solve of phase1+phase2 iterations.  A dict form reaches every
+        make_fused_pipeline option, e.g.
+        ``pipeline=dict(phase1_iters=100, straggler_slots=256,
+        phase2_iters=1500, phase0_bf16_iters=128, phase2_bf16_head=512)``
+        (the precision-staged configuration).  Groups with more unconverged
         lanes than ``straggler_slots`` leave the overflow in its phase-1
         state; the per-group overflow counts of the last pipeline solve are
         exposed as ``self.last_overflow`` (a UserWarning fires when any are
@@ -121,20 +125,24 @@ class GroupedBatchSolver:
                       else "standard")
         if method == "fused":
             if pipeline is not None:
-                mi1, slots, mi2 = pipeline
+                if isinstance(pipeline, dict):
+                    pkw = dict(pipeline)
+                    slots = pkw.get("straggler_slots", 256)
+                else:
+                    mi1, slots, mi2 = pipeline
+                    pkw = dict(phase1_iters=mi1, straggler_slots=slots,
+                               phase2_iters=mi2)
                 # pad lanes up to a tile multiple (same padding the plain
                 # fused path applies); pad lanes are masked out of straggler
                 # selection (valid_lanes) and sliced off the outputs
                 L = int(x0s.shape[1])
-                Bt = self._default_tile(L)
+                Bt = pkw.pop("batch_tile", None) or self._default_tile(L)
                 Lp = ((L + Bt - 1) // Bt) * Bt
                 x0s_p = x0s if Lp == L else jnp.concatenate(
                     [x0s, jnp.zeros((self.num_groups, Lp - L, self.nx),
                                     x0s.dtype)], axis=1)
                 fn = self.make_fused_pipeline(
-                    phase1_iters=mi1, straggler_slots=slots,
-                    phase2_iters=mi2, lanes=Lp, batch_tile=Bt,
-                    valid_lanes=L)
+                    lanes=Lp, batch_tile=Bt, valid_lanes=L, **pkw)
                 *out, overflow = fn(x0s_p)
                 out = tuple(o[:, :L] for o in out)
                 self.last_overflow = np.asarray(overflow)
