@@ -293,6 +293,8 @@ def bench_quadrotor_adaptive(reps):
     x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 12)), dtype)
     bounds = (p.u_min, p.u_max, p.x_min, p.x_max)
 
+    from tinympc_julia_tpu.parallel.rebuild import compact_members
+
     @jax.jit
     def pipeline(x0s):
         _, _, it1, ok1, rho1, carry = fn1(tmaps, *bounds, x0s)
@@ -301,11 +303,8 @@ def bench_quadrotor_adaptive(reps):
         bucket = jnp.argmin(jnp.abs(carry.rho[0][:, None]
                                     - brho[None, :]), axis=1)
         m = unconv[None, :] & (bucket[None, :] == jnp.arange(G)[:, None])
-        idx = jax.vmap(
-            lambda mk: jnp.nonzero(mk, size=S2, fill_value=0)[0])(m)
+        idx, counts, valid, overflow = compact_members(m, S2)
         gidx = idx.reshape(-1)
-        counts = m.sum(axis=1)
-        valid = (jnp.arange(S2)[None, :] < counts[:, None]).reshape(-1)
         # adaptive carry -> fixed-kernel carry: w2 = [z - y; v - g]
         w2 = jnp.concatenate([carry.z - carry.y, carry.v - carry.g], axis=0)
 
@@ -318,7 +317,6 @@ def bench_quadrotor_adaptive(reps):
         _, _, it2, ok2 = fn2(bmaps, brho, *bounds, x0s2, warm)
         lane_rho = jnp.where(valid, brho[jnp.repeat(jnp.arange(G), S2)],
                              0.0)
-        overflow = jnp.maximum(counts - S2, 0)
         return (it1, ok1, rho1, it2, jnp.where(valid, ok2, 0), lane_rho,
                 unconv, valid, overflow)
 

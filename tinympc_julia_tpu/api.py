@@ -664,6 +664,9 @@ class TinyMPCSolver:
             from .ops.condensed import build_condensed
             from .ops.pallas.condensed_kernel import (
                 make_condensed_fused_solver)
+            if s.bf16_head_iters:
+                from .parallel.grouped import _warn_short_highest_tail
+                _warn_short_highest_tail(s, s.max_iter - s.bf16_head_iters)
             if self._condensed_maps is None:
                 self._condensed_maps = build_condensed(p, self.cache)
             if fn is None:

@@ -34,6 +34,21 @@ import jax.numpy as jnp
 from ..types import Cache, Problem, Settings
 
 
+def _warn_short_highest_tail(settings, tail: int):
+    """bf16 staging with SOC/halfspace constraints needs a full-precision
+    tail of >= ~48 iterations — shorter tails measurably collapse
+    convergence on SOC-heavy shapes (18-71%, docs/DESIGN.md §5)."""
+    if tail < 48 and (settings.en_input_soc or settings.en_state_soc
+                      or settings.en_input_linear
+                      or settings.en_state_linear):
+        import warnings
+        warnings.warn(
+            f"bf16 staging leaves only {tail} full-precision iterations on "
+            "a SOC/halfspace-constrained problem — measured to collapse "
+            "convergence below ~48 (docs/DESIGN.md §5); shrink the bf16 "
+            "head or raise the iteration budget", stacklevel=3)
+
+
 def stack_instances(items: Sequence):
     """Stack a list of identically-shaped pytrees (Problems, Caches, ...)
     into one pytree with a leading group axis."""
@@ -126,8 +141,12 @@ class GroupedBatchSolver:
         if method == "fused":
             if pipeline is not None:
                 if isinstance(pipeline, dict):
+                    import inspect
                     pkw = dict(pipeline)
-                    slots = pkw.get("straggler_slots", 256)
+                    slots = pkw.get(
+                        "straggler_slots",
+                        inspect.signature(self.make_fused_pipeline)
+                        .parameters["straggler_slots"].default)
                 else:
                     mi1, slots, mi2 = pipeline
                     pkw = dict(phase1_iters=mi1, straggler_slots=slots,
@@ -334,12 +353,20 @@ class GroupedBatchSolver:
         x0s_p = x0s if Lp == L else jnp.concatenate(
             [x0s, jnp.zeros((G, Lp - L, self.nx), x0s.dtype)], axis=1)
         if s.adaptive_rho:
+            if s.bf16_head_iters:
+                raise ValueError("bf16_head_iters is fixed-rho only (the "
+                                 "rho prediction would read bf16-noise "
+                                 "residuals)")
             fn = self._adaptive_fused_kernel(Bt, s.max_iter)
             xs, us, iters, solved, _rho = fn(
                 self._taylor_maps, p.u_min, p.u_max, p.x_min, p.x_max,
                 x0s_p.astype(jnp.float32))
         else:
-            fn = self._fused_kernel(Bt, s.max_iter)
+            extra = {}
+            if s.bf16_head_iters:
+                _warn_short_highest_tail(s, s.max_iter - s.bf16_head_iters)
+                extra["bf16_head_iters"] = s.bf16_head_iters
+            fn = self._fused_kernel(Bt, s.max_iter, **extra)
             xs, us, iters, solved = fn(
                 self._maps, self.caches.rho, p.u_min, p.u_max, p.x_min,
                 p.x_max, x0s_p.astype(jnp.float32))
@@ -437,6 +464,12 @@ class GroupedBatchSolver:
         if k0 % ct != 0:
             raise ValueError(f"phase0_bf16_iters={k0} must be a multiple of "
                              f"check_termination={ct}")
+        if k2 and (k2 % ct != 0 or k2 >= phase2_iters):
+            raise ValueError(
+                f"phase2_bf16_head={k2} must be a multiple of "
+                f"check_termination={ct} below phase2_iters={phase2_iters}")
+        if k2:
+            _warn_short_highest_tail(s, phase2_iters - k2)
         from ..types import settings_bake_key
         pkey = (settings_bake_key(s), phase1_iters, L2, phase2_iters, L, Bt,
                 Lv, k0, k2)
@@ -495,8 +528,8 @@ class GroupedBatchSolver:
                 # slots on them
                 unconv = jnp.logical_and(
                     unconv, (jnp.arange(L) < Lv)[None, :])
-            idx = jax.vmap(
-                lambda m: jnp.nonzero(m, size=L2, fill_value=0)[0])(unconv)
+            from .rebuild import compact_members
+            idx, counts, valid, overflow = compact_members(unconv, L2)
             gidx = (idx + jnp.arange(G)[:, None] * L).reshape(-1)
             warm = type(carry)(*(w[:, gidx] for w in carry))
             x0s2 = x0s.reshape(G * L, nx)[gidx].reshape(G, L2, nx)
@@ -506,14 +539,11 @@ class GroupedBatchSolver:
                 xs2, us2, it2, ok2 = fn2(maps, rho, *bounds, x0s2, warm)
             # slots beyond the group's straggler count are index-0 fill
             # lanes: drop their writes (out-of-range scatter index)
-            counts = unconv.sum(axis=1)
-            valid = (jnp.arange(L2)[None, :] < counts[:, None]).reshape(-1)
             safe = jnp.where(valid, gidx, G * L)
             xs = xs1.at[safe].set(xs2, mode="drop")
             us = us1.at[safe].set(us2, mode="drop")
             iters = it1.at[safe].set(k0 + phase1_iters + it2, mode="drop")
             solved = ok1.at[safe].set(ok2, mode="drop")
-            overflow = jnp.maximum(counts - L2, 0).astype(jnp.int32)
             return (xs.reshape(G, L, self.N, nx),
                     us.reshape(G, L, self.N - 1, self.nu),
                     iters.reshape(G, L), solved.reshape(G, L), overflow)

@@ -63,6 +63,22 @@ class BucketedRebuildPipeline(NamedTuple):
     straggler_slots: int     # per-bucket phase-2 slots
 
 
+def compact_members(member, slots: int):
+    """Static-shape per-group compaction shared by every straggler/bucket
+    pipeline: ``member`` is a (G, M) bool matrix of group membership;
+    returns (idx (G, slots) member positions with index-0 fill,
+    counts (G,), valid (G*slots,) slot-validity mask, overflow (G,) int32
+    counts of members beyond ``slots``).  Callers must drop writes from
+    invalid slots (index-0 fill re-selects position 0) — the established
+    where/scatter-drop pattern."""
+    idx = jax.vmap(
+        lambda mk: jnp.nonzero(mk, size=slots, fill_value=0)[0])(member)
+    counts = member.sum(axis=1)
+    valid = (jnp.arange(slots)[None, :] < counts[:, None]).reshape(-1)
+    overflow = jnp.maximum(counts - slots, 0).astype(jnp.int32)
+    return idx, counts, valid, overflow
+
+
 def default_bucket_rhos(rho_min: float, rho_max: float,
                         per_decade: float = 1.0) -> tuple:
     """Log-spaced bucket centers covering [rho_min, rho_max] at
@@ -281,10 +297,7 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
         # within a bucket); pad slots get ZERO carry + x0 instead of
         # re-solving lane 0 so empty tiles exit at the first check
         m = unconv[None, :] & (bucket[None, :] == jnp.arange(G)[:, None])
-        idx = jax.vmap(
-            lambda mk: jnp.nonzero(mk, size=L2, fill_value=0)[0])(m)  # (G,L2)
-        counts = m.sum(axis=1)                                        # (G,)
-        valid = (jnp.arange(L2)[None, :] < counts[:, None]).reshape(-1)
+        idx, counts, valid, overflow = compact_members(m, L2)
         gidx = idx.reshape(-1)                                        # (G*L2,)
 
         def gather(a):
@@ -312,7 +325,6 @@ def make_bucketed_rebuild(problem: Problem, cache: Cache,
         lane_rho = jnp.full((B,), jnp.float32(rho0))
         lane_rho = lane_rho.at[safe].set(
             jnp.repeat(brho, L2), mode="drop")
-        overflow = jnp.maximum(counts - L2, 0).astype(jnp.int32)
         return xs, us, iters, solved, lane_rho, overflow
 
     return BucketedRebuildPipeline(solve=solve, bucket_rhos=bucket_rhos,
