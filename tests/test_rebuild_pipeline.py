@@ -69,7 +69,11 @@ class TestBucketCaches:
     def test_default_buckets_span(self):
         rhos = default_bucket_rhos(1e-4, 1e4)
         assert rhos[0] == 1e-4 and abs(rhos[-1] - 1e4) < 1e-6
-        assert len(rhos) == 9  # one per decade
+        # 2-decade spacing (quantization error <= 1 decade stays inside
+        # the measured ~3-decade flat region; fewer buckets = fewer
+        # phase-2 pad tiles)
+        assert len(rhos) == 5
+        assert len(default_bucket_rhos(1e-4, 1e4, per_decade=1.0)) == 9
 
 
 class TestBucketedRebuild:

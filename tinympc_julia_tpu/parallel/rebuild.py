@@ -80,10 +80,14 @@ def compact_members(member, slots: int):
 
 
 def default_bucket_rhos(rho_min: float, rho_max: float,
-                        per_decade: float = 1.0) -> tuple:
+                        per_decade: float = 0.5) -> tuple:
     """Log-spaced bucket centers covering [rho_min, rho_max] at
-    ``per_decade`` buckets per decade (iteration counts are flat across
-    ~3 decades of rho, so ~1/decade suffices)."""
+    ``per_decade`` buckets per decade.  Default 0.5 (2-decade spacing):
+    measured iteration counts are FLAT across ~3 decades of rho, so a
+    quantization error of up to one decade stays well inside the flat
+    region — and every extra bucket costs pad tiles in phase 2 (measured:
+    9 buckets -> 5 on the misset-cartpole span was +19% solve rate at
+    identical convergence, docs/DESIGN.md §4)."""
     lo, hi = np.log10(rho_min), np.log10(rho_max)
     n = max(2, int(np.ceil((hi - lo) * per_decade)) + 1)
     return tuple(float(r) for r in np.logspace(lo, hi, n))
